@@ -1,0 +1,21 @@
+"""totton-tpu: a TPU-native audio upsampling DSP framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+Vulkan/VkFFT GPU upsampler (michihitoTakami/totton-rasp-gpu-dsp):
+
+- 80k-tap minimum-phase FIR convolution upsampling (2x/4x/8x/16x, 44.1k/48k
+  rate families) as overlap-save frequency-domain convolution
+  (reference engine: src/vulkan/vulkan_streaming_upsampler.cpp).
+- Equalizer-APO-style parametric EQ baked into the filter spectrum or run as
+  cascaded biquads (reference: src/audio/eq_parser.cpp, eq_to_fir.cpp).
+- Host-side streaming layer replacing the ALSA capture/playback loop
+  (reference: src/alsa/).
+- Kaiser-window filter design toolkit with the same .bin+.json sidecar format
+  (reference: scripts/filters/, docs/filter_format.md).
+- ZMQ control plane + web UI (reference: src/zmq/, web/).
+- NEW vs the reference: multi-chip / multi-host execution — channels and
+  time-blocks sharded over a jax.sharding.Mesh with overlap-save halo exchange
+  via jax.lax.ppermute.
+"""
+
+__version__ = "0.1.0"
