@@ -7,13 +7,20 @@ the multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA reads this flag when the CPU client is created; set it before any
+# backend initialization.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The environment's axon sitecustomize force-selects the TPU platform at
+# interpreter start; the config update below (after import) wins over it.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

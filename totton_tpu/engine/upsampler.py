@@ -1,0 +1,147 @@
+"""StreamingUpsampler: the engine facade.
+
+API parity with the reference engine's LoadFilter / ProcessBlock / Reset /
+GetConfig surface (include/vulkan/vulkan_streaming_upsampler.h:30-34), built
+on the batched JAX overlap-save ops. One instance serves *all* channels
+(the reference clones one engine per channel,
+src/alsa/alsa_streamer_main.cpp:248-250; here channels are just a batch axis
+— and a sharding axis on multi-chip meshes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from totton_tpu.filters.sidecar import LoadedFilter, load_filter
+from totton_tpu.ops.overlap_save import (
+    OverlapSaveConfig,
+    filter_spectrum,
+    make_block_step,
+)
+
+
+class StreamingUpsampler:
+    """Stateful block-streaming upsampler for a fixed channel count.
+
+    State is just the last halo_in *input-rate* samples per channel (the
+    reference carries taps-1 output-rate samples instead,
+    vulkan_streaming_upsampler.cpp:571-594 — same information, ratio x
+    smaller here).
+    """
+
+    def __init__(
+        self,
+        filt: LoadedFilter,
+        channels: int = 2,
+        eq_response: np.ndarray | None = None,
+    ) -> None:
+        if channels < 1:
+            raise ValueError(f"channels must be >= 1: {channels}")
+        self._filter = filt
+        self._channels = channels
+        self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
+        self._spectrum = filter_spectrum(
+            filt.taps, self.config.fft_size, eq_response
+        )
+        self._step = make_block_step(self.config)
+        self._tail = jnp.zeros((channels, self.config.halo_in), jnp.float32)
+
+    @classmethod
+    def from_file(
+        cls,
+        json_path: str,
+        channels: int = 2,
+        eq_response: np.ndarray | None = None,
+    ) -> "StreamingUpsampler":
+        return cls(load_filter(json_path), channels, eq_response)
+
+    # -- properties -------------------------------------------------------
+
+    @property
+    def channels(self) -> int:
+        return self._channels
+
+    @property
+    def ratio(self) -> int:
+        return self.config.ratio
+
+    @property
+    def block_input_frames(self) -> int:
+        return self.config.block_in
+
+    @property
+    def filter(self) -> LoadedFilter:
+        return self._filter
+
+    # -- control ----------------------------------------------------------
+
+    def reset(self) -> None:
+        """Zero the carried history (reference Reset(),
+        vulkan_streaming_upsampler.cpp:598-600)."""
+        self._tail = jnp.zeros_like(self._tail)
+
+    def set_eq(self, eq_response: np.ndarray | None) -> None:
+        """Hot-swap the EQ baked into the filter spectrum.
+
+        The spectrum is a traced argument of the jitted step, so this never
+        triggers recompilation (live RELOAD support).
+        """
+        self._spectrum = filter_spectrum(
+            self._filter.taps, self.config.fft_size, eq_response
+        )
+
+    def load_filter(
+        self, filt: LoadedFilter, eq_response: np.ndarray | None = None
+    ) -> None:
+        """Swap filters. Recompiles only if the overlap-save geometry differs."""
+        cfg = OverlapSaveConfig.from_sidecar(filt.sidecar)
+        self._filter = filt
+        if cfg != self.config:
+            self.config = cfg
+            self._step = make_block_step(cfg)
+            self._tail = jnp.zeros((self._channels, cfg.halo_in), jnp.float32)
+        self._spectrum = filter_spectrum(filt.taps, cfg.fft_size, eq_response)
+
+    # -- processing -------------------------------------------------------
+
+    def process_block(self, x: np.ndarray) -> np.ndarray:
+        """Process [channels, k*block_in] input frames -> [channels, k*block_size].
+
+        Accepts any whole number of blocks at once (the reference processes
+        exactly one block per call); carried history updates automatically.
+        """
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[0] != self._channels:
+            raise ValueError(
+                f"expected [channels={self._channels}, n] input, got {x.shape}"
+            )
+        if x.shape[1] == 0 or x.shape[1] % self.config.block_in != 0:
+            raise ValueError(
+                f"input length {x.shape[1]} must be a positive multiple of "
+                f"block_input_frames {self.config.block_in}"
+            )
+        y, self._tail = self._step(self._tail, jnp.asarray(x), self._spectrum)
+        return np.asarray(y)
+
+
+def upsample_signal(
+    x: np.ndarray,
+    filt: LoadedFilter,
+    eq_response: np.ndarray | None = None,
+) -> np.ndarray:
+    """Offline convenience: upsample [channels, n] (any n) in one batched call.
+
+    Pads the tail block with zeros, then trims the output to n * ratio —
+    matching the reference file pipeline's partial-last-block semantics
+    (alsa_streamer_main.cpp:301-303).
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=np.float32))
+    channels, n = x.shape
+    eng = StreamingUpsampler(filt, channels, eq_response)
+    block_in = eng.config.block_in
+    n_pad = (-n) % block_in
+    if n_pad:
+        x = np.pad(x, [(0, 0), (0, n_pad)])
+    y = eng.process_block(x)
+    return y[:, : n * eng.ratio]
