@@ -15,6 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["TOTTON_PLATFORM"] = "cpu"  # inherited by CLI subprocess tests
 
 # The environment's axon sitecustomize force-selects the TPU platform at
 # interpreter start; the config update below (after import) wins over it.

@@ -1,0 +1,205 @@
+"""IO layer tests: PCM conversion round-trips, WAV IO, ring buffer,
+negotiation — strategy modeled on the reference's test_alsa_common.cpp,
+test_audio_ring_buffer.cpp, test_auto_negotiation.cpp."""
+
+import numpy as np
+import pytest
+
+from totton_tpu.io.devices import (
+    LoopbackPair,
+    NullSink,
+    NullSource,
+    SinkCapability,
+    list_devices,
+    open_sink,
+    open_source,
+)
+from totton_tpu.io.formats import PcmFormatSet
+from totton_tpu.io.negotiation import (
+    AutoNegotiator,
+    NegotiationError,
+    best_rate_for_family,
+    calculate_upsample_ratio,
+    rate_family,
+)
+from totton_tpu.io.pcm import (
+    PcmFormat,
+    deinterleave,
+    float_to_pcm,
+    interleave,
+    parse_format,
+    pcm_to_float,
+)
+from totton_tpu.io.ring_buffer import AudioRingBuffer
+from totton_tpu.io.wav import read_wav, write_wav
+
+
+class TestPcmFormats:
+    def test_parse_aliases(self):
+        assert parse_format("s16") is PcmFormat.S16_LE
+        assert parse_format("S24_3LE") is PcmFormat.S24_3LE
+        assert parse_format("s32_le") is PcmFormat.S32_LE
+        with pytest.raises(ValueError):
+            parse_format("f32")
+
+    def test_bytes(self):
+        assert [f.bytes for f in PcmFormat] == [2, 3, 4]
+
+    @pytest.mark.parametrize("fmt", list(PcmFormat))
+    def test_round_trip(self, fmt, rng):
+        x = rng.uniform(-0.9, 0.9, size=256).astype(np.float32)
+        back = pcm_to_float(float_to_pcm(x, fmt), fmt)
+        tol = {"S16_LE": 2 / 32768, "S24_3LE": 2 / 8388608,
+               "S32_LE": 2 / 2147483648}[fmt.value]
+        np.testing.assert_allclose(back, x, atol=tol)
+
+    def test_clipping(self):
+        x = np.array([1.5, -1.5, 1.0, -1.0], dtype=np.float32)
+        out = pcm_to_float(float_to_pcm(x, PcmFormat.S16_LE), PcmFormat.S16_LE)
+        assert out[0] == out[2]  # both clamped to the same positive max
+        assert out[1] == out[3] == -1.0
+        assert out[0] < 1.0
+
+    def test_s24_sign_extension(self):
+        # -1.0 -> 0x800000 pattern; round trip must stay negative.
+        raw = bytes([0x00, 0x00, 0x80])
+        val = pcm_to_float(raw, PcmFormat.S24_3LE)
+        assert val[0] == pytest.approx(-1.0)
+
+    def test_interleave_round_trip(self, rng):
+        x = rng.normal(size=(3, 64)).astype(np.float32)
+        np.testing.assert_array_equal(deinterleave(interleave(x), 3), x)
+
+
+class TestWav:
+    @pytest.mark.parametrize("fmt", list(PcmFormat))
+    def test_round_trip(self, tmp_path, rng, fmt):
+        x = rng.uniform(-0.8, 0.8, size=(2, 1000)).astype(np.float32)
+        p = str(tmp_path / "t.wav")
+        write_wav(p, x, 44100, fmt)
+        y, rate = read_wav(p)
+        assert rate == 44100
+        assert y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=3 / (fmt.scale / 2))
+
+
+class TestRingBuffer:
+    def test_uninitialized_fails(self):
+        rb = AudioRingBuffer()
+        assert not rb.write(np.ones(4, np.float32))
+        assert rb.read(1) is None
+
+    def test_capacity_and_counts(self):
+        rb = AudioRingBuffer(16)
+        assert rb.available_to_write() == 16
+        assert rb.write(np.arange(10, dtype=np.float32))
+        assert rb.available_to_read() == 10
+        assert rb.available_to_write() == 6
+
+    def test_overflow_rejected_whole(self):
+        rb = AudioRingBuffer(8)
+        assert rb.write(np.ones(6, np.float32))
+        assert not rb.write(np.ones(3, np.float32))  # all-or-nothing
+        assert rb.available_to_read() == 6
+
+    def test_underflow_returns_none(self):
+        rb = AudioRingBuffer(8)
+        rb.write(np.ones(2, np.float32))
+        assert rb.read(3) is None
+
+    def test_wraparound_integrity(self):
+        rb = AudioRingBuffer(7)
+        written = []
+        read = []
+        src = np.arange(100, dtype=np.float32)
+        pos = 0
+        for _ in range(50):
+            chunk = src[pos : pos + 3]
+            if rb.write(chunk):
+                written.extend(chunk)
+                pos += 3
+            got = rb.read(2)
+            if got is not None:
+                read.extend(got)
+        tail = rb.read(rb.available_to_read())
+        read.extend(tail)
+        np.testing.assert_array_equal(np.array(read), np.array(written))
+
+    def test_clear(self):
+        rb = AudioRingBuffer(8)
+        rb.write(np.ones(5, np.float32))
+        rb.clear()
+        assert rb.available_to_read() == 0
+        assert rb.available_to_write() == 8
+
+
+class TestNegotiation:
+    FULL = SinkCapability(supported_rates=tuple(
+        PcmFormatSet.RATES_44K + PcmFormatSet.RATES_48K), name="full")
+    LIMITED_192K = SinkCapability(supported_rates=(44100, 48000, 96000, 192000,
+                                                   88200, 176400), name="192k")
+
+    def test_family_detection(self):
+        assert rate_family(44100) == 44
+        assert rate_family(88200) == 44
+        assert rate_family(48000) == 48
+        assert rate_family(768000) == 48
+        with pytest.raises(NegotiationError):
+            rate_family(44101)
+
+    def test_best_rate_targets_top_of_ladder(self):
+        assert best_rate_for_family(44, self.FULL) == 705600
+        assert best_rate_for_family(48, self.FULL) == 768000
+        assert best_rate_for_family(44, self.LIMITED_192K) == 176400
+        assert best_rate_for_family(48, self.LIMITED_192K) == 192000
+
+    def test_ratio_restricted(self):
+        assert calculate_upsample_ratio(44100, 705600) == 16
+        assert calculate_upsample_ratio(352800, 705600) == 2
+        with pytest.raises(NegotiationError):
+            calculate_upsample_ratio(44100, 88100)
+        with pytest.raises(NegotiationError):
+            calculate_upsample_ratio(22050, 705600)  # ratio 32
+
+    def test_negotiate_full_chain(self):
+        neg = AutoNegotiator()
+        r = neg.negotiate(44100, self.FULL)
+        assert (r.output_rate, r.ratio, r.family) == (705600, 16, 44)
+        assert r.requires_reconfiguration  # first config
+        r2 = neg.negotiate(88200, self.FULL)
+        assert not r2.requires_reconfiguration  # same family
+        r3 = neg.negotiate(48000, self.FULL)
+        assert r3.requires_reconfiguration  # family change
+        assert (r3.output_rate, r3.ratio) == (768000, 16)
+
+    def test_negotiate_limited_dac(self):
+        r = AutoNegotiator().negotiate(48000, self.LIMITED_192K)
+        assert (r.output_rate, r.ratio) == (192000, 4)
+
+
+class TestDevices:
+    def test_null_roundtrip(self):
+        src = NullSource(channels=2, sample_rate=44100, total_frames=100)
+        sink = NullSink()
+        total = 0
+        while True:
+            x = src.read_frames(64)
+            if x.shape[1] == 0:
+                break
+            sink.write_frames(x)
+            total += x.shape[1]
+        assert total == 100
+        assert sink.frames_written == 100
+
+    def test_loopback_pair(self, rng):
+        lb = LoopbackPair(channels=2)
+        x = rng.normal(size=(2, 50)).astype(np.float32)
+        assert lb.sink_write(x)
+        y = lb.source_read(50)
+        np.testing.assert_array_equal(y, x)
+
+    def test_open_specs(self, tmp_path):
+        assert isinstance(open_source("null"), NullSource)
+        assert isinstance(open_sink("null", 44100), NullSink)
+        devices = list_devices()
+        assert {"playback", "capture"} <= devices.keys()

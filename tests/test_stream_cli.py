@@ -1,0 +1,127 @@
+"""End-to-end streaming tests: StreamSession and the totton-stream CLI
+(file mode), modeled on the reference's test_alsa_streamer_e2e.cpp and
+e2e_local_file_test.sh (signal-metric validation thresholds)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from totton_tpu.engine.upsampler import StreamingUpsampler, upsample_signal
+from totton_tpu.filters.sidecar import load_filter
+from totton_tpu.io.devices import NullSink, WavFileSink, WavFileSource, open_source
+from totton_tpu.io.stream import StreamSession
+from totton_tpu.io.wav import read_wav, write_wav
+from totton_tpu.testing.signals import sine
+from totton_tpu.testing.validate_output import validate_audio
+
+
+class TestStreamSession:
+    def test_session_matches_offline(self, coefficients_dir, rng, tmp_path):
+        lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        n = 5000  # not a block multiple: exercises partial-final-block path
+        x = (rng.normal(size=(2, n)) * 0.3).astype(np.float32)
+        wav_in = str(tmp_path / "in.wav")
+        write_wav(wav_in, x, 352800)
+
+        source = WavFileSource(wav_in)
+        sink = WavFileSink(str(tmp_path / "out.wav"), 705600)
+        eng = StreamingUpsampler(lf, channels=2)
+        stats = StreamSession(source, sink, eng, period_frames=777).run()
+        sink.close()
+
+        assert stats.frames_in == n
+        assert stats.frames_out == n * 2
+        y, rate = read_wav(str(tmp_path / "out.wav"))
+        assert rate == 705600
+        assert y.shape == (2, n * 2)
+
+        # Compare against offline processing of the same (s24-quantized)
+        # input; output WAV quantization dominates the remaining budget.
+        x_quant, _ = read_wav(wav_in)
+        ref = upsample_signal(x_quant, lf)
+        np.testing.assert_allclose(y, np.clip(ref, -1, 0.9999999), atol=3e-7)
+
+    def test_stats_file_written(self, coefficients_dir, tmp_path, rng):
+        lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        x = (rng.normal(size=(2, 2000)) * 0.1).astype(np.float32)
+        wav_in = str(tmp_path / "in.wav")
+        write_wav(wav_in, x, 352800)
+        stats_path = str(tmp_path / "stats.json")
+        session = StreamSession(
+            WavFileSource(wav_in), NullSink(),
+            StreamingUpsampler(lf, channels=2), stats_path=stats_path,
+        )
+        session.run()
+        import json
+
+        stats = json.loads(open(stats_path).read())
+        assert stats["frames_in"] == 2000
+        assert stats["output_rate"] == 705600
+        assert "xruns" in stats
+
+
+@pytest.mark.parametrize("mode", ["wav", "raw"])
+def test_cli_file_pipeline(coefficients_dir, tmp_path, mode):
+    """Full subprocess e2e: sine in -> CLI -> validated upsampled output."""
+    fs_in = 352800
+    x = sine(1000.0, 0.05, fs_in, amplitude=0.5, channels=2)
+    filter_path = str(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+
+    if mode == "wav":
+        in_path = str(tmp_path / "in.wav")
+        out_path = str(tmp_path / "out.wav")
+        write_wav(in_path, x, fs_in)
+        cmd_io = ["--in", in_path, "--out", out_path]
+    else:
+        from totton_tpu.io.pcm import PcmFormat, float_to_pcm, interleave
+
+        in_path = str(tmp_path / "in.raw")
+        out_path = str(tmp_path / "out.raw")
+        with open(in_path, "wb") as f:
+            f.write(float_to_pcm(interleave(x), PcmFormat.S32_LE))
+        cmd_io = ["--in-file", in_path, "--out-file", out_path,
+                  "--rate", str(fs_in), "--format", "s32"]
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "totton_tpu.cli.stream", *cmd_io,
+         "--filter", filter_path],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "Streaming started" in proc.stderr
+    assert "Streaming stopped" in proc.stderr
+
+    if mode == "wav":
+        y, rate = read_wav(out_path)
+        assert rate == fs_in * 2
+    else:
+        from totton_tpu.io.pcm import PcmFormat, deinterleave, pcm_to_float
+
+        y = deinterleave(
+            pcm_to_float(open(out_path, "rb").read(), PcmFormat.S32_LE), 2
+        )
+    assert y.shape[1] == x.shape[1] * 2
+    report = validate_audio(x, y, output_ratio=2)
+    assert report["passed"], report
+
+
+def test_cli_missing_args():
+    proc = subprocess.run(
+        [sys.executable, "-m", "totton_tpu.cli.stream"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "required" in proc.stderr
+
+
+def test_cli_bad_filter(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "totton_tpu.cli.stream",
+         "--in", "null", "--out", "null", "--rate", "44100",
+         "--filter", "/nonexistent.json"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 1
+    assert "not found" in proc.stderr

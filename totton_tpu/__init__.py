@@ -19,3 +19,13 @@ Vulkan/VkFFT GPU upsampler (michihitoTakami/totton-rasp-gpu-dsp):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("TOTTON_PLATFORM"):
+    # Explicit platform override (e.g. TOTTON_PLATFORM=cpu for tests and CI
+    # hosts where the TPU plugin force-registers itself). Must run before
+    # any JAX backend initialization.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TOTTON_PLATFORM"])

@@ -1,0 +1,169 @@
+"""Streaming upsampler CLI — the `alsa_streamer` equivalent.
+
+Flag surface mirrors the reference binary
+(src/alsa/alsa_streamer_main.cpp:42-65) with device endpoints generalized to
+null/file/WAV/stdio (ALSA hardware is out of scope on TPU hosts):
+
+  totton-stream --in-file in.raw --out-file out.raw --rate 44100 \\
+      --filter-dir data/coefficients --ratio 16 --phase min
+  totton-stream --in song.wav --out upsampled.wav --ratio 2
+  totton-stream --in null --out null --rate 44100 --duration 1
+
+Exit codes: 0 ok, 1 runtime failure, 2 bad arguments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+import numpy as np
+
+from totton_tpu.engine.selector import FilterSelectionError, resolve_filter_path
+from totton_tpu.engine.upsampler import StreamingUpsampler
+from totton_tpu.eq.apo import parse_eq_file
+from totton_tpu.eq.biquad import profile_response_for_fft
+from totton_tpu.filters.sidecar import load_filter
+from totton_tpu.io.devices import open_sink, open_source
+from totton_tpu.io.pcm import parse_format
+from totton_tpu.io.stream import StreamSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="totton-stream",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--in", dest="in_spec", help="input endpoint (null | path.wav | file:path | -)")
+    p.add_argument("--out", dest="out_spec", help="output endpoint (null | path.wav | file:path | -)")
+    p.add_argument("--in-file", dest="in_file", help="raw PCM input file (interleaved)")
+    p.add_argument("--out-file", dest="out_file", help="raw PCM output file (interleaved)")
+    p.add_argument("--filter", help="filter JSON path (docs/filter_format.md)")
+    p.add_argument("--filter-dir", default="data/coefficients",
+                   help="filter directory for auto lookup")
+    p.add_argument("--phase", default="min", choices=["min", "minimum", "linear"],
+                   help="filter phase for auto lookup")
+    p.add_argument("--ratio", type=int, default=1, choices=[1, 2, 4, 8, 16],
+                   help="upsample ratio for auto lookup")
+    p.add_argument("--rate", type=int, help="input sample rate (Hz)")
+    p.add_argument("--channels", type=int, default=2)
+    p.add_argument("--format", default="s32", help="PCM format (s16|s24|s32)")
+    p.add_argument("--period", type=int, default=4096, help="period frames")
+    p.add_argument("--buffer", type=int, default=None,
+                   help="buffer frames (default period*4)")
+    p.add_argument("--eq-profile", help="Equalizer-APO profile to bake in")
+    p.add_argument("--stats-path", help="write live stats JSON here")
+    p.add_argument("--duration", type=float,
+                   help="stop after this many seconds of input")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    in_spec = args.in_file or args.in_spec
+    out_spec = args.out_file or args.out_spec
+    if not in_spec or not out_spec:
+        print("error: --in/--in-file and --out/--out-file are required",
+              file=sys.stderr)
+        return 2
+    if (args.in_file or args.out_file) and not (args.rate or in_spec.endswith(".wav")):
+        print("error: --rate is required in raw file mode", file=sys.stderr)
+        return 2
+
+    try:
+        fmt = parse_format(args.format)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    try:
+        source = open_source(in_spec, fmt, args.channels, args.rate)
+    except (OSError, ValueError) as e:
+        print(f"error: cannot open input {in_spec}: {e}", file=sys.stderr)
+        return 1
+    input_rate = source.sample_rate or args.rate
+    if not input_rate:
+        print("error: input rate unknown; pass --rate", file=sys.stderr)
+        return 2
+
+    ratio = args.ratio
+    try:
+        if args.filter or ratio > 1:
+            filter_path = resolve_filter_path(
+                filter_path=args.filter,
+                filter_dir=args.filter_dir,
+                phase=args.phase,
+                ratio=ratio,
+                input_rate=input_rate,
+            )
+            loaded = load_filter(filter_path)
+            print(f"Loaded filter: {filter_path} "
+                  f"(taps={loaded.sidecar.taps}, ratio={loaded.ratio})",
+                  file=sys.stderr)
+        else:
+            # Ratio-1 passthrough: identity single-tap filter.
+            from totton_tpu.filters.sidecar import FilterSidecar, LoadedFilter
+
+            taps = np.zeros(1025, dtype=np.float32)
+            taps[0] = 1.0
+            loaded = LoadedFilter(
+                taps=taps,
+                sidecar=FilterSidecar(
+                    coefficients_bin="<identity>", taps=1025, fft_size=4096,
+                    block_size=4096 - 1024, upsample_factor=1,
+                ),
+            )
+    except (FilterSelectionError, ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    eq_response = None
+    if args.eq_profile:
+        profile = parse_eq_file(args.eq_profile)
+        eq_response = profile_response_for_fft(
+            profile, loaded.sidecar.fft_size, input_rate * loaded.ratio
+        )
+        print(f"EQ profile baked in: {args.eq_profile} "
+              f"({profile.active_band_count} active bands, "
+              f"preamp {profile.preamp_db} dB)", file=sys.stderr)
+
+    engine = StreamingUpsampler(loaded, channels=source.channels,
+                                eq_response=eq_response)
+    sink = open_sink(out_spec, input_rate * engine.ratio, fmt)
+
+    session = StreamSession(
+        source, sink, engine,
+        period_frames=args.period,
+        stats_path=args.stats_path,
+    )
+
+    def handle_signal(signum, frame):
+        session.stop()
+
+    signal.signal(signal.SIGINT, handle_signal)
+    signal.signal(signal.SIGTERM, handle_signal)
+
+    max_frames = None
+    if args.duration:
+        max_frames = int(args.duration * input_rate)
+
+    print("Streaming started "
+          f"({input_rate} Hz -> {input_rate * engine.ratio} Hz, "
+          f"{source.channels}ch, ratio {engine.ratio})", file=sys.stderr)
+    try:
+        stats = session.run(max_frames=max_frames)
+    finally:
+        source.close()
+        sink.close()
+    print("Streaming stopped", file=sys.stderr)
+    print(f"frames_in={stats.frames_in} frames_out={stats.frames_out} "
+          f"blocks={stats.blocks_processed} "
+          f"realtime_factor={stats.realtime_factor:.1f}x", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

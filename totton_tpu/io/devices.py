@@ -1,0 +1,245 @@
+"""Audio sources and sinks — the device layer.
+
+The reference talks to ALSA hardware (src/alsa/, src/io/dac_capability.cpp);
+on a TPU host the endpoints are files, pipes, sockets, or a null device.
+This module gives them a uniform frame interface plus a capability
+descriptor that plays the DAC-capability role in rate negotiation.
+
+Registry names mirror the reference CLI conventions:
+  "null"            -> NullSource / NullSink (reference e2e tests use the
+                        ALSA null device the same way)
+  "file:<path>"     -> raw float/PCM file
+  "wav:<path>"      -> WAV file
+  "-"               -> stdin/stdout raw PCM
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+from totton_tpu.io.formats import PcmFormatSet
+from totton_tpu.io.pcm import PcmFormat, deinterleave, float_to_pcm, interleave, pcm_to_float
+from totton_tpu.io.wav import read_wav, write_wav
+
+
+@dataclasses.dataclass(frozen=True)
+class SinkCapability:
+    """What an output endpoint supports (reference: DacCapability struct,
+    include/io/dac_capability.h)."""
+
+    min_rate: int = 8000
+    max_rate: int = 1536000
+    supported_rates: tuple[int, ...] = ()
+    max_channels: int = 32
+    name: str = ""
+
+    def is_rate_supported(self, rate: int) -> bool:
+        if self.supported_rates:
+            return rate in self.supported_rates
+        return self.min_rate <= rate <= self.max_rate
+
+    @classmethod
+    def unconstrained(cls, name: str = "file") -> "SinkCapability":
+        return cls(name=name)
+
+
+class AudioSource:
+    """Pull interface: read_frames(n) -> float32 [channels, <=n] (short or
+    empty at EOF)."""
+
+    channels: int = 2
+    sample_rate: int | None = None
+
+    def read_frames(self, n: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class AudioSink:
+    """Push interface: write_frames([channels, n])."""
+
+    capability: SinkCapability = SinkCapability.unconstrained()
+
+    def write_frames(self, x: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class NullSource(AudioSource):
+    """Silence generator (the 'null' capture device)."""
+
+    def __init__(self, channels: int = 2, sample_rate: int = 44100,
+                 total_frames: int | None = None) -> None:
+        self.channels = channels
+        self.sample_rate = sample_rate
+        self._remaining = total_frames
+
+    def read_frames(self, n: int) -> np.ndarray:
+        if self._remaining is not None:
+            n = min(n, self._remaining)
+            self._remaining -= n
+        return np.zeros((self.channels, n), dtype=np.float32)
+
+
+class NullSink(AudioSink):
+    """Discards everything, counts frames (the 'null' playback device)."""
+
+    def __init__(self) -> None:
+        self.frames_written = 0
+        self.capability = SinkCapability.unconstrained("null")
+
+    def write_frames(self, x: np.ndarray) -> None:
+        self.frames_written += np.atleast_2d(x).shape[1]
+
+
+class RawFileSource(AudioSource):
+    """Interleaved raw PCM file (reference --in-file mode,
+    alsa_streamer_main.cpp:254-346)."""
+
+    def __init__(self, path: str, fmt: PcmFormat, channels: int,
+                 sample_rate: int | None = None) -> None:
+        self._f = open(path, "rb") if path != "-" else sys.stdin.buffer
+        self._fmt = fmt
+        self.channels = channels
+        self.sample_rate = sample_rate
+
+    def read_frames(self, n: int) -> np.ndarray:
+        raw = self._f.read(n * self.channels * self._fmt.bytes)
+        usable = len(raw) - len(raw) % (self.channels * self._fmt.bytes)
+        if usable == 0:
+            return np.zeros((self.channels, 0), dtype=np.float32)
+        samples = pcm_to_float(raw[:usable], self._fmt)
+        return deinterleave(samples, self.channels)
+
+    def close(self) -> None:
+        if self._f is not sys.stdin.buffer:
+            self._f.close()
+
+
+class RawFileSink(AudioSink):
+    def __init__(self, path: str, fmt: PcmFormat) -> None:
+        self._f = open(path, "wb") if path != "-" else sys.stdout.buffer
+        self._fmt = fmt
+        self.capability = SinkCapability.unconstrained("raw")
+
+    def write_frames(self, x: np.ndarray) -> None:
+        self._f.write(float_to_pcm(interleave(np.atleast_2d(x)), self._fmt))
+
+    def close(self) -> None:
+        self._f.flush()
+        if self._f is not sys.stdout.buffer:
+            self._f.close()
+
+
+class WavFileSource(AudioSource):
+    def __init__(self, path: str) -> None:
+        self._data, self.sample_rate = read_wav(path)
+        self.channels = self._data.shape[0]
+        self._pos = 0
+
+    def read_frames(self, n: int) -> np.ndarray:
+        out = self._data[:, self._pos : self._pos + n]
+        self._pos += out.shape[1]
+        return out
+
+
+class WavFileSink(AudioSink):
+    """Buffers in memory, writes the WAV on close (rate known at config)."""
+
+    def __init__(self, path: str, sample_rate: int,
+                 fmt: PcmFormat = PcmFormat.S24_3LE) -> None:
+        self._path = path
+        self._rate = sample_rate
+        self._fmt = fmt
+        self._chunks: list[np.ndarray] = []
+        self.capability = SinkCapability.unconstrained("wav")
+
+    def write_frames(self, x: np.ndarray) -> None:
+        self._chunks.append(np.atleast_2d(np.asarray(x, np.float32)).copy())
+
+    def close(self) -> None:
+        data = (
+            np.concatenate(self._chunks, axis=1)
+            if self._chunks
+            else np.zeros((2, 0), np.float32)
+        )
+        write_wav(self._path, data, self._rate, self._fmt)
+
+
+class LoopbackPair:
+    """In-memory source/sink pair for tests (plays the role of the
+    reference's snd-aloop loopback, scripts/test/alsa_loopback_helper.py)."""
+
+    def __init__(self, channels: int = 2, sample_rate: int = 44100) -> None:
+        from totton_tpu.io.ring_buffer import AudioRingBuffer
+
+        self._ring = AudioRingBuffer(1 << 20)
+        self.channels = channels
+        self.sample_rate = sample_rate
+
+    def sink_write(self, x: np.ndarray) -> bool:
+        return self._ring.write(interleave(np.atleast_2d(x)))
+
+    def source_read(self, n: int) -> np.ndarray:
+        got = self._ring.read(n * self.channels)
+        if got is None:
+            return np.zeros((self.channels, 0), np.float32)
+        return deinterleave(got, self.channels)
+
+
+def list_devices() -> dict:
+    """Enumerate available endpoint kinds (the LIST_ALSA_DEVICES analog —
+    reference: src/io/dac_capability.cpp:36-52)."""
+    return {
+        "playback": [
+            {"id": "null", "name": "Null sink (discard)"},
+            {"id": "file:<path>", "name": "Raw PCM file sink"},
+            {"id": "wav:<path>", "name": "WAV file sink"},
+            {"id": "-", "name": "stdout raw PCM"},
+        ],
+        "capture": [
+            {"id": "null", "name": "Null source (silence)"},
+            {"id": "file:<path>", "name": "Raw PCM file source"},
+            {"id": "wav:<path>", "name": "WAV file source"},
+            {"id": "-", "name": "stdin raw PCM"},
+        ],
+    }
+
+
+def open_source(
+    spec: str,
+    fmt: PcmFormat = PcmFormat.S32_LE,
+    channels: int = 2,
+    sample_rate: int | None = None,
+) -> AudioSource:
+    if spec == "null":
+        return NullSource(channels, sample_rate or 44100)
+    if spec.startswith("wav:"):
+        return WavFileSource(spec[4:])
+    if spec.endswith(".wav"):
+        return WavFileSource(spec)
+    path = spec[5:] if spec.startswith("file:") else spec
+    return RawFileSource(path, fmt, channels, sample_rate)
+
+
+def open_sink(
+    spec: str,
+    sample_rate: int,
+    fmt: PcmFormat = PcmFormat.S32_LE,
+) -> AudioSink:
+    if spec == "null":
+        return NullSink()
+    if spec.startswith("wav:"):
+        return WavFileSink(spec[4:], sample_rate, fmt)
+    if spec.endswith(".wav"):
+        return WavFileSink(spec, sample_rate, fmt)
+    path = spec[5:] if spec.startswith("file:") else spec
+    return RawFileSink(path, fmt)

@@ -1,0 +1,173 @@
+"""Streaming session: source -> ring -> TPU engine -> ring -> sink.
+
+Re-design of the reference's live ALSA loop and file pipeline
+(src/alsa/alsa_streamer_main.cpp:254-346,495-611): period-sized reads are
+decoupled from filter-block-sized engine dispatches by ring buffers;
+overflow drops audio with a warning (never blocks the producer); the final
+partial block is zero-padded and trimmed to frames_read * ratio output
+samples.
+
+Improvements over the reference:
+- The engine batches all currently-available full blocks into one device
+  dispatch instead of one block per call.
+- Stats (frames, blocks, xruns, realtime factor) are actually emitted
+  (the reference web UI reads a stats file no shipped binary writes —
+  web/services/daemon.py:19-50).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+from totton_tpu.engine.upsampler import StreamingUpsampler
+from totton_tpu.io.devices import AudioSink, AudioSource
+from totton_tpu.io.ring_buffer import AudioRingBuffer
+
+
+@dataclasses.dataclass
+class StreamStats:
+    frames_in: int = 0
+    frames_out: int = 0
+    blocks_processed: int = 0
+    input_overflows: int = 0
+    output_overflows: int = 0
+    start_time: float = dataclasses.field(default_factory=time.monotonic)
+    process_time_s: float = 0.0
+    input_rate: int = 0
+    output_rate: int = 0
+
+    @property
+    def realtime_factor(self) -> float:
+        """Output samples produced per second of compute, over the output
+        rate (how many x faster than realtime the DSP runs)."""
+        if self.process_time_s <= 0 or self.output_rate <= 0:
+            return 0.0
+        return (self.frames_out / self.process_time_s) / self.output_rate
+
+    def to_json(self) -> dict:
+        return {
+            "uptime_ms": int((time.monotonic() - self.start_time) * 1000),
+            "input_rate": self.input_rate,
+            "output_rate": self.output_rate,
+            "frames_in": self.frames_in,
+            "frames_out": self.frames_out,
+            "blocks_processed": self.blocks_processed,
+            "xruns": {
+                "input_overflows": self.input_overflows,
+                "output_overflows": self.output_overflows,
+            },
+            "realtime_factor": self.realtime_factor,
+            "process_time_s": self.process_time_s,
+        }
+
+
+class StreamSession:
+    """Drives source -> engine -> sink until EOF or stop().
+
+    ``period_frames`` is clamped to the filter's input block size (reference:
+    alsa_streamer_main.cpp:404-418). ``max_batch_blocks`` bounds how many
+    blocks go to the device in one dispatch (latency/throughput knob).
+    """
+
+    def __init__(
+        self,
+        source: AudioSource,
+        sink: AudioSink,
+        engine: StreamingUpsampler,
+        period_frames: int = 4096,
+        buffer_blocks: int = 8,
+        max_batch_blocks: int = 16,
+        stats_path: str | None = None,
+    ) -> None:
+        self.source = source
+        self.sink = sink
+        self.engine = engine
+        block_in = engine.block_input_frames
+        self.period_frames = max(1, min(period_frames, block_in))
+        self.channels = engine.channels
+        self.max_batch_blocks = max(1, max_batch_blocks)
+        capacity = max(block_in, self.period_frames) * max(3, buffer_blocks)
+        self._in_ring = AudioRingBuffer(capacity * self.channels)
+        self.stats = StreamStats(
+            input_rate=source.sample_rate or 0,
+            output_rate=(source.sample_rate or 0) * engine.ratio,
+        )
+        self._stats_path = stats_path
+        self._stop = threading.Event()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _write_stats(self) -> None:
+        if not self._stats_path:
+            return
+        tmp = self._stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.stats.to_json(), f)
+        os.replace(tmp, self._stats_path)
+
+    def _dispatch(self, frames: np.ndarray, valid_in_frames: int) -> None:
+        """Run whole blocks through the engine, trim to valid output."""
+        t0 = time.monotonic()
+        y = self.engine.process_block(frames)
+        self.stats.process_time_s += time.monotonic() - t0
+        self.stats.blocks_processed += frames.shape[1] // self.engine.block_input_frames
+        valid_out = valid_in_frames * self.engine.ratio
+        self.sink.write_frames(y[:, :valid_out])
+        self.stats.frames_out += valid_out
+
+    def run(self, max_frames: int | None = None) -> StreamStats:
+        """Synchronous pump loop. Returns final stats."""
+        block_in = self.engine.block_input_frames
+        frames_remaining = max_frames
+        eof = False
+        while not self._stop.is_set() and not eof:
+            want = self.period_frames
+            if frames_remaining is not None:
+                want = min(want, frames_remaining)
+                if want == 0:
+                    break
+            chunk = self.source.read_frames(want)
+            got = chunk.shape[1]
+            if got == 0:
+                eof = True
+            else:
+                self.stats.frames_in += got
+                if frames_remaining is not None:
+                    frames_remaining -= got
+                if not self._in_ring.write(chunk.T.ravel()):
+                    # Overflow: drop accumulated audio (reference:
+                    # alsa_streamer_main.cpp:516-521).
+                    self.stats.input_overflows += 1
+                    self._in_ring.clear()
+                    self._in_ring.write(chunk.T.ravel())
+
+            # Dispatch as many whole blocks as are queued (bounded).
+            while True:
+                avail = self._in_ring.available_to_read() // self.channels
+                nblocks = min(avail // block_in, self.max_batch_blocks)
+                if nblocks == 0:
+                    break
+                flat = self._in_ring.read(nblocks * block_in * self.channels)
+                frames = flat.reshape(-1, self.channels).T
+                self._dispatch(frames, nblocks * block_in)
+
+            if eof:
+                # Final partial block: zero-pad, emit only real frames
+                # (reference file mode: alsa_streamer_main.cpp:301-303).
+                left = self._in_ring.available_to_read() // self.channels
+                if left:
+                    flat = self._in_ring.read(left * self.channels)
+                    frames = flat.reshape(-1, self.channels).T
+                    padded = np.pad(frames, [(0, 0), (0, block_in - left)])
+                    self._dispatch(padded, left)
+            self._write_stats()
+
+        self._write_stats()
+        return self.stats
