@@ -1,0 +1,118 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: sharded
+output must equal single-device output exactly (halo exchange is exact, not
+approximate)."""
+
+import jax
+import numpy as np
+import pytest
+
+from totton_tpu.engine.upsampler import StreamingUpsampler
+from totton_tpu.filters.sidecar import load_filter
+from totton_tpu.parallel import ShardedUpsampler, make_mesh, sharded_upsample
+
+
+@pytest.fixture(scope="module")
+def small_filter(tmp_path_factory):
+    from totton_tpu.filters.generate import generate_one
+
+    out = tmp_path_factory.mktemp("par_coeff")
+    # fft_size 4096 >> taps gives block_in 774 with halo_in 250 — a healthy
+    # block/halo ratio at test scale.
+    r = generate_one("44k_4x", 1000, 25.0, 140.0, "minimum", str(out),
+                     fft_size=4096)
+    return load_filter(r["json_path"])
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+
+class TestMesh:
+    def test_default_all_time(self):
+        mesh = make_mesh()
+        assert mesh.shape == {"channel": 1, "time": 8}
+
+    def test_2d(self):
+        mesh = make_mesh(n_channel=2)
+        assert mesh.shape == {"channel": 2, "time": 4}
+
+    def test_bad_split(self):
+        with pytest.raises(ValueError, match="cover"):
+            make_mesh(n_channel=3, n_time=3)
+
+
+class TestShardedUpsample:
+    @pytest.mark.parametrize("n_channel,n_time", [(1, 8), (2, 4), (4, 2), (8, 1)])
+    def test_matches_single_device(self, small_filter, rng, n_channel, n_time):
+        lf = small_filter
+        mesh = make_mesh(n_channel=n_channel, n_time=n_time)
+        cfg_block_in = lf.sidecar.block_input_frames
+        channels = 8
+        # Enough blocks that every time shard holds >= halo_in samples.
+        blocks_per_shard = 8
+        t = blocks_per_shard * cfg_block_in * n_time
+        x = (rng.normal(size=(channels, t)) * 0.3).astype(np.float32)
+
+        y_sharded = sharded_upsample(x, lf, mesh)
+
+        eng = StreamingUpsampler(lf, channels=channels)
+        y_single = eng.process_block(x)
+        np.testing.assert_allclose(y_sharded, y_single, rtol=1e-5, atol=1e-6)
+
+    def test_shard_too_small_rejected(self):
+        # Production 16x geometry: halo_in (5000) > block_in (3192), so one
+        # block per time shard must be rejected.
+        from totton_tpu.ops.overlap_save import OverlapSaveConfig
+        from totton_tpu.parallel.sharded import _check_shapes
+
+        cfg = OverlapSaveConfig(taps=80001, fft_size=131072,
+                                block_size=51072, ratio=16)
+        mesh = make_mesh(n_channel=1, n_time=8)
+        with pytest.raises(ValueError, match="halo"):
+            _check_shapes(cfg, mesh, channels=2, t=cfg.block_in * 8)
+
+    def test_non_divisible_rejected(self, small_filter):
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=8)
+        bad_t = lf.sidecar.block_input_frames * 8 + 1
+        with pytest.raises(ValueError, match="shards"):
+            sharded_upsample(np.zeros((2, bad_t), np.float32), lf, mesh)
+
+
+class TestShardedStreaming:
+    def test_streaming_continuity_across_steps(self, small_filter, rng):
+        lf = small_filter
+        mesh = make_mesh(n_channel=2, n_time=4)
+        sharded = ShardedUpsampler(lf, mesh, channels=4)
+        block_in = sharded.config.block_in
+        per_step = sharded.step_input_frames * 4  # 4 blocks per shard...
+
+        # Ensure halo fits in a shard
+        while (per_step // 4) < sharded.config.halo_in:
+            per_step *= 2
+        steps = 3
+        x = (rng.normal(size=(4, steps * per_step)) * 0.3).astype(np.float32)
+
+        chunks = [
+            sharded.process_block(x[:, i * per_step : (i + 1) * per_step])
+            for i in range(steps)
+        ]
+        y_stream = np.concatenate(chunks, axis=-1)
+
+        eng = StreamingUpsampler(lf, channels=4)
+        y_single = eng.process_block(x)
+        np.testing.assert_allclose(y_stream, y_single, rtol=1e-5, atol=1e-6)
+
+    def test_reset(self, small_filter, rng):
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=4)
+        sharded = ShardedUpsampler(lf, mesh, channels=2)
+        per_step = sharded.step_input_frames
+        while (per_step // 4) < sharded.config.halo_in:
+            per_step *= 2
+        x = (rng.normal(size=(2, per_step)) * 0.3).astype(np.float32)
+        y1 = sharded.process_block(x)
+        _ = sharded.process_block(x)
+        sharded.reset()
+        y3 = sharded.process_block(x)
+        np.testing.assert_array_equal(y1, y3)

@@ -1,0 +1,38 @@
+"""Device mesh construction for the ('channel', 'time') sharding layout."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    n_channel: int | None = None,
+    n_time: int | None = None,
+    devices=None,
+) -> Mesh:
+    """Build a 2D Mesh with axes ('channel', 'time').
+
+    Defaults: all channels on one shard, all devices along 'time' (time
+    parallelism scales with pod size; channel count is fixed by the audio
+    format). On multi-host, devices are ordered so the 'time' axis's
+    neighboring shards land on ICI neighbors where possible (jax.devices()
+    order groups by host).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_channel is None and n_time is None:
+        n_channel, n_time = 1, n
+    elif n_channel is None:
+        n_channel = n // n_time
+    elif n_time is None:
+        n_time = n // n_channel
+    need = n_channel * n_time
+    if need > n:
+        raise ValueError(
+            f"mesh {n_channel}x{n_time} does not cover {n} devices"
+        )
+    grid = np.asarray(devices[:need]).reshape(n_channel, n_time)
+    return Mesh(grid, axis_names=("channel", "time"))
