@@ -1,0 +1,208 @@
+"""Matmul-based FFT for TPU — the framework's core transform.
+
+This environment's TPU backend implements neither XLA's FFT HLO nor complex
+dtypes (jnp.fft.* and complex64 ops raise UNIMPLEMENTED), so the framework
+carries its own transform, built the TPU-native way:
+
+- **Mixed-radix Cooley-Tukey (Bailey four-step)** factorization where every
+  stage is a batched DFT *matmul* of size <= 128 — the FFT runs on the MXU
+  systolic array instead of the VPU, which is also how you reach
+  speed-of-light on TPU even where a native FFT exists.
+- **Real-pair complex arithmetic**: spectra are (re, im) float32 array
+  pairs; each complex matmul stage is 4 real matmuls, elementwise twiddles
+  are VPU ops fused by XLA.
+
+For N = P * Q (x[n], n = Q*p + q):
+  1. reshape to A[p, q]
+  2. column DFTs via W_P matmul        (MXU, batched over q)
+  3. twiddle multiply by W_N^{k1 q}    (VPU elementwise)
+  4. row DFTs over q: recurse
+  5. output index k = k2*P + k1 -> transpose
+
+DFT/twiddle matrices are precomputed in float64 on host, cast to float32;
+matmuls run with Precision.HIGHEST. Measured accuracy vs numpy float64:
+>130 dB SNR at N = 131072 (see tests/test_fft.py).
+
+Real transforms use the half-size packing trick: rfft(N) = one complex FFT
+of N/2 on (even, odd) + O(N) untangling.
+
+API (last axis, power-of-two sizes):
+  fft2(re, im) / ifft2(re, im) -> (re, im)
+  rfft2(x, n) -> (re, im) with n//2+1 bins
+  irfft2(re, im, n) -> x
+  complex_mul(ar, ai, br, bi) -> (re, im)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+#: Largest direct-DFT stage; 128 matches the MXU tile.
+_MAX_RADIX = 128
+
+
+def _factorize(n: int) -> tuple[int, ...]:
+    """Split a power of two into factors <= _MAX_RADIX, largest first."""
+    if n == 0 or n & (n - 1):
+        raise ValueError(f"FFT size must be a power of two, got {n}")
+    factors = []
+    while n > _MAX_RADIX:
+        factors.append(_MAX_RADIX)
+        n //= _MAX_RADIX
+    factors.append(n)
+    return tuple(factors)
+
+
+@functools.lru_cache(maxsize=128)
+def _dft_matrix(n: int, inverse: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(re, im) of the [n, n] DFT matrix W[j, k] = exp(-+2πi jk / n)."""
+    j, k = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ang = (2.0 if inverse else -2.0) * np.pi * (j * k % n) / n
+    # numpy (not jnp) so cached values are never traced-context constants.
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=128)
+def _twiddle(p: int, q: int, inverse: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(re, im) of the [p, q] twiddle W_N^{p q}, N = p*q."""
+    n = p * q
+    jj, kk = np.meshgrid(np.arange(p), np.arange(q), indexing="ij")
+    ang = (2.0 if inverse else -2.0) * np.pi * (jj * kk % n) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def complex_mul(ar, ai, br, bi):
+    """Elementwise complex multiply on pairs."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cmatmul(ar, ai, wr, wi):
+    """[..., j] complex x [j, k] complex -> [..., k] via 4 real matmuls."""
+    rr = jnp.einsum("...j,jk->...k", ar, wr, precision=_PRECISION)
+    ii = jnp.einsum("...j,jk->...k", ai, wi, precision=_PRECISION)
+    ri = jnp.einsum("...j,jk->...k", ar, wi, precision=_PRECISION)
+    ir = jnp.einsum("...j,jk->...k", ai, wr, precision=_PRECISION)
+    return rr - ii, ri + ir
+
+
+def _fft_rec(xr, xi, factors, inverse):
+    """Unnormalized complex FFT along the last axis; len = prod(factors)."""
+    n = xr.shape[-1]
+    p = factors[0]
+    wr, wi = _dft_matrix(p, inverse)
+    if len(factors) == 1:
+        return _cmatmul(xr, xi, wr, wi)
+    q = n // p
+    ar = xr.reshape(xr.shape[:-1] + (p, q))
+    ai = xi.reshape(xi.shape[:-1] + (p, q))
+    # Column DFTs over p: contract [..., p, q] with [p, k1] -> [..., k1, q].
+    brr = jnp.einsum("...pq,pk->...kq", ar, wr, precision=_PRECISION)
+    bii = jnp.einsum("...pq,pk->...kq", ai, wi, precision=_PRECISION)
+    bri = jnp.einsum("...pq,pk->...kq", ar, wi, precision=_PRECISION)
+    bir = jnp.einsum("...pq,pk->...kq", ai, wr, precision=_PRECISION)
+    br, bi = brr - bii, bri + bir
+    tr, ti = _twiddle(p, q, inverse)
+    cr, ci = complex_mul(br, bi, tr, ti)
+    dr, di = _fft_rec(cr, ci, factors[1:], inverse)  # [..., k1, k2]
+    out_r = jnp.swapaxes(dr, -1, -2).reshape(xr.shape[:-1] + (n,))
+    out_i = jnp.swapaxes(di, -1, -2).reshape(xr.shape[:-1] + (n,))
+    return out_r, out_i
+
+
+def _pad_last(x, n):
+    if x.shape[-1] < n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        return jnp.pad(x, pad)
+    if x.shape[-1] > n:
+        return x[..., :n]
+    return x
+
+
+def fft2(xr, xi, n: int | None = None):
+    """Complex FFT on a (re, im) pair along the last axis."""
+    if n is None:
+        n = xr.shape[-1]
+    xr = _pad_last(xr.astype(jnp.float32), n)
+    xi = _pad_last(xi.astype(jnp.float32), n)
+    if n == 1:
+        return xr, xi
+    return _fft_rec(xr, xi, _factorize(n), inverse=False)
+
+
+def ifft2(xr, xi, n: int | None = None):
+    """Inverse complex FFT on a pair (normalized by 1/n)."""
+    if n is None:
+        n = xr.shape[-1]
+    xr = _pad_last(xr.astype(jnp.float32), n)
+    xi = _pad_last(xi.astype(jnp.float32), n)
+    if n == 1:
+        return xr, xi
+    yr, yi = _fft_rec(xr, xi, _factorize(n), inverse=True)
+    s = jnp.float32(1.0 / n)
+    return yr * s, yi * s
+
+
+@functools.lru_cache(maxsize=128)
+def _rfft_untangle(n: int):
+    """(Ar, Ai, Br, Bi) untangling twiddles for the half-size real trick.
+
+    For z[m] = x[2m] + i x[2m+1], Z = fft(z, n/2):
+      X[k] = A[k] Z[k] + B[k] conj(Z[(n/2 - k) mod n/2]),  k = 0..n/2,
+    A[k] = (1 - i W_n^k)/2, B[k] = (1 + i W_n^k)/2.
+    """
+    k = np.arange(n // 2 + 1)
+    w = np.exp(-2j * np.pi * k / n)
+    a = 0.5 * (1.0 - 1j * w)
+    b = 0.5 * (1.0 + 1j * w)
+    return tuple(
+        v.astype(np.float32) for v in (a.real, a.imag, b.real, b.imag)
+    )
+
+
+def rfft2(x, n: int | None = None):
+    """Real FFT along the last axis -> (re, im) with n//2 + 1 bins."""
+    if n is None:
+        n = x.shape[-1]
+    x = _pad_last(x.astype(jnp.float32), n)
+    if n == 1:
+        return x, jnp.zeros_like(x)
+    half = n // 2
+    zr, zi = fft2(x[..., 0::2], x[..., 1::2], half)
+    # Extend to half+1 bins (Z[half] = Z[0]) and build conj(Z[half - k]).
+    zr_ext = jnp.concatenate([zr, zr[..., :1]], axis=-1)
+    zi_ext = jnp.concatenate([zi, zi[..., :1]], axis=-1)
+    zr_rev = jnp.concatenate([zr[..., :1], zr[..., :0:-1], zr[..., :1]], axis=-1)
+    zi_rev = -jnp.concatenate([zi[..., :1], zi[..., :0:-1], zi[..., :1]], axis=-1)
+    ar, ai, br, bi = _rfft_untangle(n)
+    t1r, t1i = complex_mul(zr_ext, zi_ext, ar, ai)
+    t2r, t2i = complex_mul(zr_rev, zi_rev, br, bi)
+    return t1r + t2r, t1i + t2i
+
+
+def irfft2(xr, xi, n: int):
+    """Inverse real FFT of n//2 + 1 bins -> n real samples."""
+    if xr.shape[-1] != n // 2 + 1:
+        raise ValueError(
+            f"irfft2 expects {n // 2 + 1} bins for n={n}, got {xr.shape[-1]}"
+        )
+    if n == 1:
+        return xr[..., :1].astype(jnp.float32)
+    half = n // 2
+    ar, ai, br, bi = _rfft_untangle(n)
+    # Invert untangling: Z[k] = conj(A[k]) X[k] + conj(B[k]) conj(X[n/2-k]).
+    xrr = xr[..., ::-1]
+    xir = -xi[..., ::-1]
+    t1r, t1i = complex_mul(xr, xi, ar, -ai)
+    t2r, t2i = complex_mul(xrr, xir, br, -bi)
+    zr = (t1r + t2r)[..., :half]
+    zi = (t1i + t2i)[..., :half]
+    yr, yi = ifft2(zr, zi, half)
+    # Re-interleave even/odd: out[2m] = yr[m], out[2m+1] = yi[m].
+    out = jnp.stack([yr, yi], axis=-1)
+    return out.reshape(xr.shape[:-1] + (n,))

@@ -23,9 +23,11 @@ inverse FFT. This implementation differs structurally:
 3. **The spectral multiply is fused on-device** by XLA into the FFT
    pipeline — fixing the reference's GPU->CPU->GPU round trip.
 
-Numerics: runtime signal path is float32/complex64 (same as the reference,
-src/vulkan/fft_utils.h:30); the filter spectrum is precomputed in float64 on
-host and cast once.
+All transforms are the in-house matmul FFT (totton_tpu.ops.fft — this TPU
+backend implements neither the FFT HLO nor complex dtypes), with spectra in
+real-pair (re, im) float32 form. The filter spectrum is precomputed in
+float64 on host and cast once; runtime signal path is float32 like the
+reference (src/vulkan/fft_utils.h:30).
 """
 
 from __future__ import annotations
@@ -37,6 +39,8 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from totton_tpu.ops import fft as _fft
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,10 +113,10 @@ def filter_spectrum(
     taps: np.ndarray,
     fft_size: int,
     eq_response: np.ndarray | None = None,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Precompute the filter's rfft spectrum, optionally with EQ baked in.
 
-    Computed in float64 on host (numpy) and cast to complex64 once — the
+    Computed in float64 on host (numpy) and cast to a float32 pair once — the
     runtime FFT noise floor then dominates, not the spectrum precompute
     (the reference computes this in float32 via its CPU FFT,
     vulkan_streaming_upsampler.cpp:726-753; float64 here is strictly better).
@@ -134,7 +138,11 @@ def filter_spectrum(
                 f"{spectrum.shape}"
             )
         spectrum = spectrum * eq_response
-    return jnp.asarray(spectrum.astype(np.complex64))
+    # Real-pair representation (this TPU backend has no complex dtype).
+    return (
+        jnp.asarray(spectrum.real.astype(np.float32)),
+        jnp.asarray(spectrum.imag.astype(np.float32)),
+    )
 
 
 def zero_stuff(x: jnp.ndarray, ratio: int) -> jnp.ndarray:
@@ -177,40 +185,47 @@ def frame_input(x: jnp.ndarray, block_in: int, halo_in: int) -> jnp.ndarray:
     return wide[..., pad:]
 
 
-def _periodic_rfft_extend(spectra: jnp.ndarray, ratio: int) -> jnp.ndarray:
+def _periodic_rfft_extend(sr: jnp.ndarray, si: jnp.ndarray, ratio: int):
     """Extend rfft(frame, M) to the rfft grid of the zero-stuffed length r*M.
 
     U[k] = X[k mod M] for k in [0, r*M/2]; the full period of X is rebuilt
-    from the rfft half via Hermitian symmetry.
+    from the rfft half via Hermitian symmetry (conj = negated imag).
     """
     if ratio == 1:
-        return spectra
-    m = 2 * (spectra.shape[-1] - 1)
-    full_period = jnp.concatenate(
-        [spectra[..., :-1], jnp.conj(spectra[..., -1:0:-1])], axis=-1
-    )  # [..., M]
+        return sr, si
     reps = ratio // 2
-    tiled = jnp.tile(full_period, (1,) * (spectra.ndim - 1) + (reps,))
-    return jnp.concatenate([tiled, spectra[..., :1]], axis=-1)
+    batch = (1,) * (sr.ndim - 1)
+    full_r = jnp.concatenate([sr[..., :-1], sr[..., -1:0:-1]], axis=-1)
+    full_i = jnp.concatenate([si[..., :-1], -si[..., -1:0:-1]], axis=-1)
+    out_r = jnp.concatenate(
+        [jnp.tile(full_r, batch + (reps,)), sr[..., :1]], axis=-1
+    )
+    out_i = jnp.concatenate(
+        [jnp.tile(full_i, batch + (reps,)), si[..., :1]], axis=-1
+    )
+    return out_r, out_i
 
 
 def upsample_frames(
-    frames: jnp.ndarray, spectrum: jnp.ndarray, cfg: OverlapSaveConfig
+    frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
 ) -> jnp.ndarray:
     """[..., frame_in] input-rate frames -> [..., block_size] output blocks.
 
     rfft(frame_in) -> periodic extension (free zero-stuff) -> x filter
     spectrum -> irfft(fft_size) -> drop the first taps-1 contaminated
-    samples (overlap-save discard).
+    samples (overlap-save discard). All transforms are the in-house
+    matmul FFT (totton_tpu.ops.fft) in real-pair form.
     """
-    spectra = jnp.fft.rfft(frames.astype(jnp.float32), n=cfg.frame_in)
-    extended = _periodic_rfft_extend(spectra, cfg.ratio)
-    y = jnp.fft.irfft(extended * spectrum, n=cfg.fft_size)
-    return y[..., cfg.overlap :].astype(jnp.float32)
+    hr, hi = spectrum
+    xr, xi = _fft.rfft2(frames.astype(jnp.float32), cfg.frame_in)
+    er, ei = _periodic_rfft_extend(xr, xi, cfg.ratio)
+    yr, yi = _fft.complex_mul(er, ei, hr, hi)
+    y = _fft.irfft2(yr, yi, cfg.fft_size)
+    return y[..., cfg.overlap :]
 
 
 def upsample_blocks(
-    x: jnp.ndarray, spectrum: jnp.ndarray, cfg: OverlapSaveConfig
+    x: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
 ) -> jnp.ndarray:
     """Upsample a contiguous input carrying its own history.
 
