@@ -1,0 +1,162 @@
+"""Control-plane tests.
+
+Modeled on the reference's test_zmq_server_e2e.cpp: spawn the real daemon
+process, poll PING until ready, exercise the full command surface including
+error paths, then SHUTDOWN -> process exit. Plus in-process protocol tests.
+"""
+
+import json
+import subprocess
+import sys
+import time
+
+import pytest
+
+from totton_tpu.control.client import DaemonClient
+from totton_tpu.control.daemon import ControlDaemon
+from totton_tpu.control.server import build_error, build_ok, parse_request
+
+
+class TestProtocol:
+    def test_parse_raw_token(self):
+        req = parse_request("  PING \n")
+        assert req.cmd == "PING" and not req.is_json
+
+    def test_parse_json(self):
+        req = parse_request('{"cmd": "PHASE_TYPE_SET", "phase": "linear"}')
+        assert req.cmd == "PHASE_TYPE_SET"
+        assert req.param("phase", "phase_type") == "linear"
+
+    def test_parse_json_phase_type_alias(self):
+        req = parse_request('{"cmd": "X", "phase_type": "minimum"}')
+        assert req.param("phase", "phase_type") == "minimum"
+
+    def test_invalid_json(self):
+        req = parse_request('{"cmd": ')
+        assert req.parse_error
+
+    def test_missing_cmd(self):
+        req = parse_request('{"phase": "linear"}')
+        assert req.parse_error == "cmd is required"
+
+    def test_envelopes(self):
+        assert json.loads(build_ok({"a": 1})) == {"status": "ok",
+                                                  "data": {"a": 1}}
+        assert build_ok() == '{"status":"ok"}'
+        err = json.loads(build_error("UNKNOWN_CMD", "unknown command"))
+        assert err["status"] == "error" and err["error_code"] == "UNKNOWN_CMD"
+
+
+class TestDaemonInProcess:
+    @pytest.fixture
+    def daemon(self, tmp_path):
+        d = ControlDaemon(
+            endpoint=f"ipc://{tmp_path}/test.sock",
+            stats_path=str(tmp_path / "stats.json"),
+        )
+        d.start()
+        yield d
+        d.stop()
+
+    @pytest.fixture
+    def client(self, daemon):
+        return DaemonClient(endpoint=daemon.endpoint, timeout_ms=3000)
+
+    def test_ping(self, client):
+        assert client.ping()
+
+    def test_stats_counters(self, client, daemon):
+        assert client.reload_config().ok
+        assert client.reload_config().ok
+        assert client.soft_reset().ok
+        stats = client.stats()
+        assert stats.ok
+        assert stats.data["reloads"] == 2
+        assert stats.data["soft_resets"] == 1
+        assert stats.data["uptime_ms"] >= 0
+        assert stats.data["phase_type"] == "minimum"
+
+    def test_stats_merges_stream_file(self, client, daemon, tmp_path):
+        (tmp_path / "stats.json").write_text(
+            json.dumps({"frames_in": 42, "xruns": {}})
+        )
+        stats = client.stats()
+        assert stats.data["stream"]["frames_in"] == 42
+
+    def test_phase_type_round_trip(self, client):
+        assert client.get_phase_type().data["phase_type"] == "minimum"
+        r = client.set_phase_type("linear")
+        assert r.ok and r.data["phase_type"] == "linear"
+        assert client.get_phase_type().data["phase_type"] == "linear"
+        # "min" alias normalizes to "minimum"
+        assert client.set_phase_type("min").data["phase_type"] == "minimum"
+
+    def test_phase_type_invalid(self, client):
+        r = client.set_phase_type("warped")
+        assert not r.ok and r.error_code == "INVALID_PARAMS"
+
+    def test_unknown_command(self, client):
+        r = client.request("NOT_A_COMMAND")
+        assert not r.ok and r.error_code == "UNKNOWN_CMD"
+
+    def test_invalid_json_request(self, client):
+        r = client.request('{"cmd": ')
+        assert not r.ok and r.error_code == "INVALID_JSON"
+
+    def test_list_devices(self, client):
+        r = client.list_devices()
+        assert r.ok and {"playback", "capture"} <= r.data.keys()
+
+    def test_reload_callback_fires(self, tmp_path):
+        fired = []
+        d = ControlDaemon(
+            endpoint=f"ipc://{tmp_path}/cb.sock",
+            on_reload=lambda: fired.append(1),
+            on_phase_change=lambda p: fired.append(p),
+        )
+        d.start()
+        try:
+            c = DaemonClient(endpoint=d.endpoint, timeout_ms=3000)
+            c.reload_config()
+            c.set_phase_type("linear")
+            assert fired == [1, "linear"]
+        finally:
+            d.stop()
+
+    def test_client_timeout_when_no_server(self, tmp_path):
+        c = DaemonClient(endpoint=f"ipc://{tmp_path}/nobody.sock",
+                         timeout_ms=200)
+        r = c.request("PING")
+        assert not r.ok and r.error_code == "TIMEOUT"
+
+
+def test_daemon_subprocess_e2e(tmp_path):
+    """Full e2e: real process, real sockets, SHUTDOWN -> clean exit."""
+    endpoint = f"ipc://{tmp_path}/e2e.sock"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.control",
+         "--endpoint", endpoint],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        client = DaemonClient(endpoint=endpoint, timeout_ms=500)
+        deadline = time.monotonic() + 15
+        while time.monotonic() < deadline:
+            if client.ping():
+                break
+            time.sleep(0.1)
+        else:
+            pytest.fail("daemon never answered PING")
+
+        assert client.stats().ok
+        assert client.set_phase_type("linear").ok
+        assert client.get_phase_type().data["phase_type"] == "linear"
+        assert client.shutdown().ok
+        assert proc.wait(timeout=10) == 0
+        out = proc.stdout.read()
+        assert "ZMQ server listening" in out
+        assert "ZMQ server stopped" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
