@@ -1,0 +1,58 @@
+"""Threaded streaming session: three-thread pipeline must produce output
+identical to the synchronous session / offline processing."""
+
+import numpy as np
+
+from totton_tpu.engine.upsampler import StreamingUpsampler, upsample_signal
+from totton_tpu.filters.sidecar import load_filter
+from totton_tpu.io.devices import WavFileSink, WavFileSource
+from totton_tpu.io.stream import ThreadedStreamSession
+from totton_tpu.io.wav import read_wav, write_wav
+
+
+def test_threaded_matches_offline(coefficients_dir, rng, tmp_path):
+    lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+    n = 4321  # exercises the partial-final-block path
+    x = (rng.normal(size=(2, n)) * 0.3).astype(np.float32)
+    wav_in = str(tmp_path / "in.wav")
+    write_wav(wav_in, x, 352800)
+
+    source = WavFileSource(wav_in)
+    sink = WavFileSink(str(tmp_path / "out.wav"), 705600)
+    eng = StreamingUpsampler(lf, channels=2)
+    stats = ThreadedStreamSession(
+        source, sink, eng, period_frames=512
+    ).run()
+    sink.close()
+
+    assert stats.frames_in == n
+    assert stats.frames_out == n * 2
+    y, _ = read_wav(str(tmp_path / "out.wav"))
+    assert y.shape == (2, n * 2)
+
+    x_quant, _ = read_wav(wav_in)
+    ref = upsample_signal(x_quant, lf)
+    # Tolerance: s24 WAV quantization (1 LSB = 1.2e-7) + f32 batch-order
+    # noise from different FFT batch sizes than the offline path.
+    np.testing.assert_allclose(y, np.clip(ref, -1, 0.9999999), atol=5e-7)
+
+
+def test_threaded_stop_terminates(coefficients_dir, tmp_path, rng):
+    import threading
+
+    from totton_tpu.io.devices import NullSink, NullSource
+
+    lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+    eng = StreamingUpsampler(lf, channels=2)
+    session = ThreadedStreamSession(
+        NullSource(channels=2, sample_rate=352800), NullSink(), eng
+    )
+    t = threading.Thread(target=session.run)
+    t.start()
+    import time
+
+    time.sleep(0.3)
+    session.stop()
+    t.join(timeout=15)
+    assert not t.is_alive()
+    assert session.stats.blocks_processed > 0

@@ -12,6 +12,8 @@ import enum
 
 import numpy as np
 
+from totton_tpu import native as _native
+
 
 class PcmFormat(enum.Enum):
     S16_LE = "S16_LE"
@@ -62,6 +64,9 @@ def pcm_to_float(data: bytes | np.ndarray, fmt: PcmFormat) -> np.ndarray:
         raise ValueError(
             f"buffer length {len(buf)} not a multiple of sample size {fmt.bytes}"
         )
+    native = _native.pcm_to_float(buf, fmt)
+    if native is not None:
+        return native
     if fmt is PcmFormat.S16_LE:
         ints = buf.view("<i2").astype(np.float32)
     elif fmt is PcmFormat.S32_LE:
@@ -77,6 +82,9 @@ def pcm_to_float(data: bytes | np.ndarray, fmt: PcmFormat) -> np.ndarray:
 def float_to_pcm(x: np.ndarray, fmt: PcmFormat) -> bytes:
     """float32 samples -> raw interleaved PCM bytes, with clamping."""
     x = np.asarray(x, dtype=np.float32).ravel()
+    native = _native.float_to_pcm(x, fmt)
+    if native is not None:
+        return native
     clamped = np.clip(x, np.float32(-1.0), np.float32(fmt.clamp_hi))
     scaled = clamped * np.float32(fmt.scale)
     if fmt is PcmFormat.S16_LE:

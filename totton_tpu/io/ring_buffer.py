@@ -18,6 +18,16 @@ import threading
 import numpy as np
 
 
+def make_ring_buffer(capacity: int):
+    """Best available SPSC ring: the lock-free native C++ implementation
+    when compiled, else this module's locked Python one."""
+    from totton_tpu import native
+
+    if native.available():
+        return native.NativeRingBuffer(capacity)
+    return AudioRingBuffer(capacity)
+
+
 class AudioRingBuffer:
     """Float32 SPSC ring buffer of fixed capacity (in samples)."""
 

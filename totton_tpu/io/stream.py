@@ -27,7 +27,7 @@ import numpy as np
 
 from totton_tpu.engine.upsampler import StreamingUpsampler
 from totton_tpu.io.devices import AudioSink, AudioSource
-from totton_tpu.io.ring_buffer import AudioRingBuffer
+from totton_tpu.io.ring_buffer import make_ring_buffer
 
 
 @dataclasses.dataclass
@@ -93,7 +93,7 @@ class StreamSession:
         self.channels = engine.channels
         self.max_batch_blocks = max(1, max_batch_blocks)
         capacity = max(block_in, self.period_frames) * max(3, buffer_blocks)
-        self._in_ring = AudioRingBuffer(capacity * self.channels)
+        self._in_ring = make_ring_buffer(capacity * self.channels)
         self.stats = StreamStats(
             input_rate=source.sample_rate or 0,
             output_rate=(source.sample_rate or 0) * engine.ratio,
@@ -171,3 +171,152 @@ class StreamSession:
 
         self._write_stats()
         return self.stats
+
+
+class ThreadedStreamSession:
+    """Live-mode pump: feeder and drainer threads decouple endpoint IO from
+    device dispatch (the reference's SPSC producer/consumer design,
+    include/io/audio_ring_buffer.h — here actually on separate threads; the
+    reference runs both sides on one thread, alsa_streamer_main.cpp:473-493).
+
+    Thread layout:
+      feeder:  source.read_frames -> input ring  (overflow: drop + count;
+               clear() is unsafe cross-thread on an SPSC ring)
+      main:    input ring -> engine.process_block -> output ring
+      drainer: output ring -> sink.write_frames
+    """
+
+    def __init__(
+        self,
+        source: AudioSource,
+        sink: AudioSink,
+        engine: StreamingUpsampler,
+        period_frames: int = 4096,
+        buffer_blocks: int = 8,
+        max_batch_blocks: int = 8,
+        stats_path: str | None = None,
+    ) -> None:
+        self.source = source
+        self.sink = sink
+        self.engine = engine
+        block_in = engine.block_input_frames
+        self.period_frames = max(1, min(period_frames, block_in))
+        self.channels = engine.channels
+        self.max_batch_blocks = max(1, max_batch_blocks)
+        cap_in = max(block_in, self.period_frames) * max(3, buffer_blocks)
+        cap_out = engine.config.block_size * max(3, buffer_blocks)
+        self._in_ring = make_ring_buffer(cap_in * self.channels)
+        self._out_ring = make_ring_buffer(cap_out * self.channels)
+        self.stats = StreamStats(
+            input_rate=source.sample_rate or 0,
+            output_rate=(source.sample_rate or 0) * engine.ratio,
+        )
+        self._stats_path = stats_path
+        self._stop = threading.Event()
+        self._feed_done = threading.Event()
+        self._compute_done = threading.Event()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _feeder(self, max_frames: int | None) -> None:
+        remaining = max_frames
+        try:
+            while not self._stop.is_set():
+                want = self.period_frames
+                if remaining is not None:
+                    want = min(want, remaining)
+                    if want == 0:
+                        break
+                chunk = self.source.read_frames(want)
+                got = chunk.shape[1]
+                if got == 0:
+                    break
+                self.stats.frames_in += got
+                if remaining is not None:
+                    remaining -= got
+                flat = chunk.T.ravel()
+                while not self._in_ring.write(flat):
+                    if self._stop.is_set():
+                        return
+                    if getattr(self.source, "realtime", False):
+                        # Real-time capture can't wait: drop the chunk.
+                        self.stats.input_overflows += 1
+                        break
+                    # File/pipe sources just wait for the compute side.
+                    time.sleep(0.001)
+        finally:
+            self._feed_done.set()
+
+    def _drainer(self) -> None:
+        while True:
+            avail = self._out_ring.available_to_read()
+            avail -= avail % self.channels
+            if avail:
+                flat = self._out_ring.read(avail)
+                frames = flat.reshape(-1, self.channels).T
+                self.sink.write_frames(frames)
+                self.stats.frames_out += frames.shape[1]
+            elif self._compute_done.is_set():
+                return
+            elif self._stop.is_set() and not avail:
+                return
+            else:
+                time.sleep(0.001)
+
+    def _emit(self, frames: np.ndarray, valid_in: int) -> None:
+        t0 = time.monotonic()
+        y = self.engine.process_block(frames)
+        self.stats.process_time_s += time.monotonic() - t0
+        self.stats.blocks_processed += (
+            frames.shape[1] // self.engine.block_input_frames
+        )
+        flat = y[:, : valid_in * self.engine.ratio].T.ravel()
+        while not self._out_ring.write(flat):
+            if self._stop.is_set():
+                return
+            self.stats.output_overflows += 1
+            time.sleep(0.002)
+
+    def run(self, max_frames: int | None = None) -> StreamStats:
+        block_in = self.engine.block_input_frames
+        feeder = threading.Thread(
+            target=self._feeder, args=(max_frames,), name="totton-feeder"
+        )
+        drainer = threading.Thread(target=self._drainer, name="totton-drainer")
+        feeder.start()
+        drainer.start()
+        try:
+            while True:
+                avail = self._in_ring.available_to_read() // self.channels
+                nblocks = min(avail // block_in, self.max_batch_blocks)
+                if nblocks:
+                    flat = self._in_ring.read(
+                        nblocks * block_in * self.channels
+                    )
+                    self._emit(
+                        flat.reshape(-1, self.channels).T, nblocks * block_in
+                    )
+                    self._write_stats()
+                elif self._feed_done.is_set():
+                    left = self._in_ring.available_to_read() // self.channels
+                    if left:
+                        flat = self._in_ring.read(left * self.channels)
+                        frames = flat.reshape(-1, self.channels).T
+                        self._emit(
+                            np.pad(frames, [(0, 0), (0, block_in - left)]),
+                            left,
+                        )
+                    break
+                elif self._stop.is_set():
+                    break
+                else:
+                    time.sleep(0.001)
+        finally:
+            self._compute_done.set()
+            feeder.join(timeout=10)
+            drainer.join(timeout=10)
+            self._write_stats()
+        return self.stats
+
+    _write_stats = StreamSession._write_stats
