@@ -28,6 +28,7 @@ import numpy as np
 from totton_tpu.engine.upsampler import StreamingUpsampler
 from totton_tpu.io.devices import AudioSink, AudioSource
 from totton_tpu.io.ring_buffer import make_ring_buffer
+from totton_tpu.utils.profiling import BlockTimer
 
 
 @dataclasses.dataclass
@@ -41,6 +42,7 @@ class StreamStats:
     process_time_s: float = 0.0
     input_rate: int = 0
     output_rate: int = 0
+    timer: BlockTimer = dataclasses.field(default_factory=BlockTimer)
 
     @property
     def realtime_factor(self) -> float:
@@ -64,6 +66,7 @@ class StreamStats:
             },
             "realtime_factor": self.realtime_factor,
             "process_time_s": self.process_time_s,
+            "dispatch_timing": self.timer.summary(),
         }
 
 
@@ -115,7 +118,8 @@ class StreamSession:
     def _dispatch(self, frames: np.ndarray, valid_in_frames: int) -> None:
         """Run whole blocks through the engine, trim to valid output."""
         t0 = time.monotonic()
-        y = self.engine.process_block(frames)
+        with self.stats.timer.measure():
+            y = self.engine.process_block(frames)
         self.stats.process_time_s += time.monotonic() - t0
         self.stats.blocks_processed += frames.shape[1] // self.engine.block_input_frames
         valid_out = valid_in_frames * self.engine.ratio
@@ -266,7 +270,8 @@ class ThreadedStreamSession:
 
     def _emit(self, frames: np.ndarray, valid_in: int) -> None:
         t0 = time.monotonic()
-        y = self.engine.process_block(frames)
+        with self.stats.timer.measure():
+            y = self.engine.process_block(frames)
         self.stats.process_time_s += time.monotonic() - t0
         self.stats.blocks_processed += (
             frames.shape[1] // self.engine.block_input_frames
