@@ -1,0 +1,79 @@
+#!/bin/bash
+# Container entrypoint: config.json first, TOTTON_* env overrides win
+# (same precedence as the reference docker/entrypoint.sh:33-110).
+#
+# Modes:
+#   all      control daemon + streamer + web (default)
+#   dsp      control daemon + streamer
+#   control  control daemon only
+#   web      web UI only
+#   stream   streamer only (needs TOTTON_IN/TOTTON_OUT)
+set -euo pipefail
+
+MODE="${1:-all}"
+
+CONFIG_PATH="${TOTTON_CONFIG_PATH:-/opt/totton-tpu/config.json}"
+
+cfg() {  # cfg <python-expr over config dict 'c'> <default>
+  python3 - "$CONFIG_PATH" "$2" <<EOF
+import json, sys
+try:
+    c = json.load(open(sys.argv[1]))
+except Exception:
+    c = {}
+try:
+    v = eval("""$1""")
+except Exception:
+    v = None
+print(v if v is not None else sys.argv[2])
+EOF
+}
+
+IN_DEV="${TOTTON_IN:-$(cfg "c['alsa']['inputDevice']" null)}"
+OUT_DEV="${TOTTON_OUT:-$(cfg "c['alsa']['outputDevice']" null)}"
+RATE="${TOTTON_RATE:-$(cfg "c['alsa']['sampleRate']" 44100)}"
+CHANNELS="${TOTTON_CHANNELS:-$(cfg "c['alsa']['channels']" 2)}"
+FORMAT="${TOTTON_FORMAT:-$(cfg "c['alsa']['format']" S32_LE)}"
+PERIOD="${TOTTON_PERIOD:-$(cfg "c['alsa']['periodFrames']" 4096)}"
+RATIO="${TOTTON_RATIO:-$(cfg "c['filter']['ratio']" 2)}"
+PHASE="${TOTTON_PHASE:-$(cfg "c['filter']['phaseType']" minimum)}"
+FILTER_DIR="${TOTTON_FILTER_DIR:-$(cfg "c['filter']['directory']" /opt/totton-tpu/data/coefficients)}"
+STATS_PATH="${TOTTON_STATS_PATH:-/tmp/gpu_upsampler_stats.json}"
+WEB_PORT="${TOTTON_WEB_PORT:-8080}"
+
+PIDS=()
+cleanup() {
+  for pid in "${PIDS[@]}"; do kill "$pid" 2>/dev/null || true; done
+  wait || true
+}
+trap cleanup EXIT INT TERM
+
+start_control() {
+  totton-control --stats-path "$STATS_PATH" &
+  PIDS+=("$!")
+}
+
+start_stream() {
+  totton-stream --in "$IN_DEV" --out "$OUT_DEV" \
+    --rate "$RATE" --channels "$CHANNELS" --format "$FORMAT" \
+    --period "$PERIOD" --ratio "$RATIO" --phase "$PHASE" \
+    --filter-dir "$FILTER_DIR" --stats-path "$STATS_PATH" &
+  PIDS+=("$!")
+}
+
+start_web() {
+  totton-web --port "$WEB_PORT" &
+  PIDS+=("$!")
+}
+
+case "$MODE" in
+  all)      start_control; start_stream; start_web ;;
+  dsp)      start_control; start_stream ;;
+  control)  start_control ;;
+  stream)   start_stream ;;
+  web)      start_web ;;
+  *) echo "unknown mode: $MODE" >&2; exit 2 ;;
+esac
+
+wait -n
+exit $?

@@ -89,15 +89,17 @@ def validate_audio(
     )
 
     checks = {
-        "correlation": correlation >= CORRELATION_THRESHOLD,
-        "spectral_similarity": spectral_similarity >= SPECTRAL_SIMILARITY_THRESHOLD,
-        "rms_diff_db": rms_diff_db <= RMS_DIFF_DB_THRESHOLD,
+        "correlation": bool(correlation >= CORRELATION_THRESHOLD),
+        "spectral_similarity": bool(
+            spectral_similarity >= SPECTRAL_SIMILARITY_THRESHOLD
+        ),
+        "rms_diff_db": bool(rms_diff_db <= RMS_DIFF_DB_THRESHOLD),
     }
     return {
-        "lag": lag,
-        "correlation": correlation,
-        "spectral_similarity": spectral_similarity,
-        "rms_diff_db": rms_diff_db,
+        "lag": int(lag),
+        "correlation": float(correlation),
+        "spectral_similarity": float(spectral_similarity),
+        "rms_diff_db": float(rms_diff_db),
         "checks": checks,
         "passed": all(checks.values()),
     }
