@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats-path", help="write live stats JSON here")
     p.add_argument("--duration", type=float,
                    help="stop after this many seconds of input")
+    p.add_argument("--threaded", action="store_true",
+                   help="feeder/drainer threads around the device dispatch "
+                        "(live-mode pipeline)")
     return p
 
 
@@ -134,7 +137,12 @@ def main(argv: list[str] | None = None) -> int:
                                 eq_response=eq_response)
     sink = open_sink(out_spec, input_rate * engine.ratio, fmt)
 
-    session = StreamSession(
+    session_cls = StreamSession
+    if args.threaded:
+        from totton_tpu.io.stream import ThreadedStreamSession
+
+        session_cls = ThreadedStreamSession
+    session = session_cls(
         source, sink, engine,
         period_frames=args.period,
         stats_path=args.stats_path,
