@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buffer", type=int, default=None,
                    help="buffer frames (default period*4)")
     p.add_argument("--eq-profile", help="Equalizer-APO profile to bake in")
+    p.add_argument("--crossfeed",
+                   help="crossfeed filter JSON (4-channel LL/LR/RL/RR set) "
+                        "applied after upsampling")
     p.add_argument("--stats-path", help="write live stats JSON here")
     p.add_argument("--duration", type=float,
                    help="stop after this many seconds of input")
@@ -135,6 +138,17 @@ def main(argv: list[str] | None = None) -> int:
 
     engine = StreamingUpsampler(loaded, channels=source.channels,
                                 eq_response=eq_response)
+    if args.crossfeed:
+        from totton_tpu.engine.chain import CrossfeedChain
+        from totton_tpu.engine.crossfeed import CrossfeedFilter, CrossfeedProcessor
+
+        if source.channels != 2:
+            print("error: --crossfeed requires stereo input", file=sys.stderr)
+            return 2
+        cf = CrossfeedProcessor(CrossfeedFilter.load(args.crossfeed))
+        engine = CrossfeedChain(engine, cf)
+        print(f"Crossfeed enabled: {args.crossfeed} "
+              f"({cf.filter.taps} taps/channel)", file=sys.stderr)
     sink = open_sink(out_spec, input_rate * engine.ratio, fmt)
 
     session_cls = StreamSession
