@@ -91,6 +91,39 @@ def _cmatmul(ar, ai, wr, wi):
     return rr - ii, ri + ir
 
 
+def _fft_rec_real(x, factors):
+    """Unnormalized forward FFT of a REAL input along the last axis: the
+    first stage needs only 2 real matmuls (imag part is zero)."""
+    n = x.shape[-1]
+    p = factors[0]
+    wr, wi = _dft_matrix(p, False)
+    if len(factors) == 1:
+        return (
+            jnp.einsum("...j,jk->...k", x, wr, precision=_PRECISION),
+            jnp.einsum("...j,jk->...k", x, wi, precision=_PRECISION),
+        )
+    q = n // p
+    a = x.reshape(x.shape[:-1] + (p, q))
+    br = jnp.einsum("...pq,pk->...kq", a, wr, precision=_PRECISION)
+    bi = jnp.einsum("...pq,pk->...kq", a, wi, precision=_PRECISION)
+    tr, ti = _twiddle(p, q, False)
+    cr, ci = complex_mul(br, bi, tr, ti)
+    dr, di = _fft_rec(cr, ci, factors[1:], False)
+    out_r = jnp.swapaxes(dr, -1, -2).reshape(x.shape[:-1] + (n,))
+    out_i = jnp.swapaxes(di, -1, -2).reshape(x.shape[:-1] + (n,))
+    return out_r, out_i
+
+
+def fft2_real(x, n: int | None = None):
+    """Forward FFT of a real input -> full-length (re, im) pair."""
+    if n is None:
+        n = x.shape[-1]
+    x = _pad_last(x.astype(jnp.float32), n)
+    if n == 1:
+        return x, jnp.zeros_like(x)
+    return _fft_rec_real(x, _factorize(n))
+
+
 def _fft_rec(xr, xi, factors, inverse):
     """Unnormalized complex FFT along the last axis; len = prod(factors)."""
     n = xr.shape[-1]

@@ -206,16 +206,77 @@ def _periodic_rfft_extend(sr: jnp.ndarray, si: jnp.ndarray, ratio: int):
     return out_r, out_i
 
 
+def _fold_g(spectrum, fft_size: int):
+    """Fold the rfft filter spectrum [h+1] pair into the G1/G2 arrays of
+    the reversal-free formulation (see upsample_frames docstring)."""
+    hr, hi = spectrum
+    h = fft_size // 2
+    k = np.arange(h)
+    w = np.exp(-2j * np.pi * k / fft_size)
+    a = 0.5 * (1.0 - 1j * w)
+    b = 0.5 * (1.0 + 1j * w)
+    ca_r = jnp.asarray(a.real.astype(np.float32))
+    ca_i = jnp.asarray((-a.imag).astype(np.float32))  # conj(A)
+    cb_r = jnp.asarray(b.real.astype(np.float32))
+    cb_i = jnp.asarray((-b.imag).astype(np.float32))  # conj(B)
+    h_r, h_i = hr[:h], hi[:h]
+    hrev_r = jnp.flip(hr[1:])      # H[h-k], k = 0..h-1
+    hrev_i = -jnp.flip(hi[1:])     # conj
+    g1 = (ca_r * h_r - ca_i * h_i, ca_r * h_i + ca_i * h_r)
+    g2 = (cb_r * hrev_r - cb_i * hrev_i, cb_r * hrev_i + cb_i * hrev_r)
+    return g1, g2
+
+
 def upsample_frames(
     frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
 ) -> jnp.ndarray:
     """[..., frame_in] input-rate frames -> [..., block_size] output blocks.
 
-    rfft(frame_in) -> periodic extension (free zero-stuff) -> x filter
-    spectrum -> irfft(fft_size) -> drop the first taps-1 contaminated
-    samples (overlap-save discard). All transforms are the in-house
-    matmul FFT (totton_tpu.ops.fft) in real-pair form.
+    Reversal-free folded formulation (shared with the fused Pallas kernel,
+    ops/pallas_kernels.py): the forward transform is the FULL m-point DFT
+    of the real frame (m = frame_in); its periodic tiling
+    E[k] = Xf[k mod m] is the zero-stuffed spectrum; the inverse-real-FFT
+    untangling and the filter multiply collapse into Z = E*G1 + E2*G2 via
+    the Hermitian identity E[h-k] = conj(E[k]); then one half-size complex
+    ifft and an even/odd interleave yield the output-rate block, and the
+    first taps-1 samples are discarded (overlap-save). All transforms are
+    the in-house matmul FFT (totton_tpu.ops.fft) in real-pair form.
+
+    Falls back to the classic rfft/extension/irfft pipeline when the
+    overlap is odd (taps even — the z-domain slice needs overlap % 2 == 0).
     """
+    m = cfg.frame_in
+    h = cfg.fft_size // 2
+    if cfg.overlap % 2 != 0:
+        return _upsample_frames_classic(frames, spectrum, cfg)
+
+    (g1r, g1i), (g2r, g2i) = _fold_g(spectrum, cfg.fft_size)
+    xr, xi = _fft.fft2_real(frames.astype(jnp.float32), m)
+    reps = h // m
+    batch = (1,) * (xr.ndim - 1)
+    if reps > 1:
+        er = jnp.tile(xr, batch + (reps,))
+        ei = jnp.tile(xi, batch + (reps,))
+        e2r, e2i = er, ei
+    elif reps == 1:
+        er, ei = xr, xi
+        e2r, e2i = er, ei
+    else:  # ratio == 1: h = m // 2; second term reads the upper half.
+        er, ei = xr[..., :h], xi[..., :h]
+        e2r, e2i = xr[..., h:], xi[..., h:]
+    zr = er * g1r - ei * g1i + e2r * g2r - e2i * g2i
+    zi = er * g1i + ei * g1r + e2r * g2i + e2i * g2r
+    tr, ti = _fft.ifft2(zr, zi, h)
+    # out[2j] = Re z[j], out[2j+1] = Im z[j]; keep j >= overlap/2.
+    j0 = cfg.overlap // 2
+    out = jnp.stack([tr[..., j0:], ti[..., j0:]], axis=-1)
+    return out.reshape(frames.shape[:-1] + (cfg.block_size,))
+
+
+def _upsample_frames_classic(
+    frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
+) -> jnp.ndarray:
+    """rfft -> periodic extension -> x H -> irfft -> discard (fallback)."""
     hr, hi = spectrum
     xr, xi = _fft.rfft2(frames.astype(jnp.float32), cfg.frame_in)
     er, ei = _periodic_rfft_extend(xr, xi, cfg.ratio)
