@@ -11,25 +11,37 @@ from totton_tpu.ops.overlap_save import (
     upsample_blocks,
 )
 from totton_tpu.ops.pallas_kernels import (
-    _split2,
+    _pick_split,
+    _uses_perm_e,
     fold_spectrum,
     fused_upsample_blocks,
 )
 
 
-class TestSplit2:
-    def test_balanced(self):
-        assert _split2(65536) == (256, 256)
-        assert _split2(8192) == (128, 64)
-        assert _split2(4096) == (64, 64)
+class TestPickSplit:
+    def test_lane_first(self):
+        # f2 (lanes) stays >= 128; f1 (rows) <= 512.
+        assert _pick_split(65536) == (512, 128)
+        assert _pick_split(131072) == (512, 256)
+        assert _pick_split(262144) == (512, 512)
+        assert _pick_split(16384) == (128, 128)
+        assert _pick_split(8192) == (64, 128)
 
     def test_too_large(self):
         with pytest.raises(ValueError, match="too large"):
-            _split2(1 << 20)
+            _pick_split(1 << 20)
 
     def test_non_pow2(self):
         with pytest.raises(ValueError, match="power-of-two"):
-            _split2(100)
+            _pick_split(100)
+
+    def test_production_16x_uses_perm_e(self):
+        cfg = OverlapSaveConfig(taps=80001, fft_size=131072,
+                                block_size=51072, ratio=16)
+        assert _uses_perm_e(cfg)
+        cfg8 = OverlapSaveConfig(taps=80001, fft_size=131072,
+                                 block_size=51072, ratio=8)
+        assert not _uses_perm_e(cfg8)  # m = 16384 -> f1 = 128, natural row ok
 
 
 @pytest.mark.parametrize(
@@ -55,7 +67,7 @@ def test_fused_matches_xla_path(rng, taps, fft, ratio):
 def test_fold_spectrum_shapes():
     spec = filter_spectrum(np.random.default_rng(0).normal(size=257), 2048)
     g1r, g1i, g2r, g2i = fold_spectrum(spec, 2048)
-    assert g1r.shape == g2i.shape == (32, 32)  # h=1024 -> 32x32
+    assert g1r.shape == g2i.shape == (8, 128)  # h=1024 -> [8, 128]
 
 
 def test_odd_overlap_rejected():

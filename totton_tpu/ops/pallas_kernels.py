@@ -8,32 +8,33 @@ VMEM, touching HBM only for the frame in (32 KB at 16x), the block out
 spectrum; constant index maps keep them loaded across grid steps).
 
 The in-kernel formulation is shaped by what this backend's Mosaic compiler
-supports (probed empirically): 2D values only (any 3D reshape/transpose
-crashes the remote compiler), no `rev`, no strided stores. Hence:
+supports (probed op-by-op; see PERF.md):
 
-1. **Two-stage radix-<=512 FFT, strictly 2D.** n = f1*f2:
-   reshape [f1, f2] -> W1^T matmul -> 2D twiddle multiply -> 2D transpose
-   -> W2^T matmul -> [k2, k1] whose row-major flattening is natural order.
-   (The classic 3+-stage nesting needs 3D batch reordering; radix 256
-   covers fft_size up to 524288 in two stages at ~2x the FLOPs of radix
-   128 — irrelevant, the kernel is bandwidth-bound.)
-2. **No real-FFT untangling reversals.** The forward transform computes
-   the FULL m-point DFT of the real frame (first stage needs only 2
-   matmuls). Its periodic tiling E[k] = Xf[k mod m] is the zero-stuffed
-   spectrum. For the half-size inverse real FFT, the untangled input is
-   Z[k] = conj(A_k) X[k] + conj(B_k) conj(X[h-k]) with X = E*H; by
-   Hermitian symmetry of the real-input DFT, E[h-k] = conj(E[k]) (m | h),
-   so the reversals fold into precomputed filter-side arrays:
-       Z = E * G1 + E2 * G2,
-       G1 = conj(A) H[:h],  G2 = conj(B) conj(H[h:0:-1]),
-   with E2 = E for ratio >= 2 and E2 = Xf[h:] for ratio 1.
-3. **Even/odd outputs are separate** (out[2j] = Re z[j], out[2j+1] =
-   Im z[j] needs a strided store): the kernel emits the real and imag
-   halves as two outputs and XLA interleaves outside (one cheap pass).
+- values are strictly 2D (3D reshapes/transposes crash the remote
+  compiler); no `rev`; no strided stores; reshapes that SPLIT the lane
+  dimension must target >= 128 lanes, and lane MERGES need a >= 128-lane
+  source.
+- **Two-stage four-step FFT, transpose-free until the end**: for
+  n = f1*f2 (f2 in {128,256,512}), reshape [f1, f2]; stage 1 contracts
+  rows (W_f1 matmul from the left); 2D twiddle; stage 2 contracts lanes
+  (W_f2 matmul from the right) giving M[k1, k2] with natural order
+  M.T.flat; the single transpose lands on a >= 128-lane target.
+- **No real-FFT untangling reversals**: the forward computes the FULL
+  m-point DFT of the real frame (2-matmul first stage); its periodic
+  tiling E[k] = Xf[k mod m] is the zero-stuffed spectrum; by Hermitian
+  symmetry E[h-k] = conj(E[k]), the inverse-real-FFT untangle + filter
+  multiply collapse into Z = E*G1 + E2*G2 with host-folded G arrays
+  (fold_spectrum — traced, so filter/EQ hot-swap never recompiles).
+- For the production 16x geometry (m = 8192: f1 = 64 < 128 forbids the
+  natural-row merge), E is built directly from the transposed stage
+  output with two 0/1 permutation matmuls + a lane concat.
+- Even/odd output halves are emitted separately (out[2j] = Re z[j],
+  out[2j+1] = Im z[j] would need a strided store) and interleaved by XLA
+  outside the kernel.
 
-G1/G2 are traced operands, so filter/EQ hot-swap never recompiles. DFT and
-twiddle constants are kernel operands (Pallas kernels cannot capture array
-constants).
+Hardware support envelope: frame_in >= 16384, or the 16x production frame
+(8192); fft_size/2 >= 16384. Anything smaller runs in interpret mode
+(tests) or falls back to the XLA path.
 
 Grid: one program per (channel x block) frame; frames arrive pre-framed
 [N, frame_in].
@@ -42,7 +43,6 @@ Grid: one program per (channel x block) frame; frames arrive pre-framed
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -52,50 +52,64 @@ from jax.experimental.pallas import tpu as pltpu
 
 from totton_tpu.ops.overlap_save import OverlapSaveConfig
 
-#: Largest DFT-matmul radix (two stages cover n <= 262144).
-_MAX_RADIX = 512
+_MAX_ROWS = 512      # max rows of the stage-1 DFT matmul
+_LANE = 128          # minimum lane width for splits/merges on hardware
 
 
-def _split2(n: int) -> tuple[int, int]:
-    """Balanced two-factor split f1*f2 = n with f1 >= f2, both <= 512."""
+def _pick_split(n: int) -> tuple[int, int]:
+    """(f1, f2) with n = f1*f2, f2 in {128, 256, 512}, f1 <= 512.
+
+    For n < 16384 this yields f1 < 128 — compilable only in interpret mode
+    (the final merge needs >= 128 lanes on hardware) unless the caller uses
+    the permuted-E path.
+    """
     if n == 0 or n & (n - 1):
         raise ValueError(f"power-of-two size required, got {n}")
-    log = n.bit_length() - 1
-    f1 = 1 << ((log + 1) // 2)
-    f2 = n // f1
-    if f1 > _MAX_RADIX:
-        raise ValueError(f"size {n} too large for two radix-512 stages")
-    return f1, f2
+    for f2 in (128, 256, 512):
+        if n % f2 == 0 and n // f2 <= _MAX_ROWS:
+            return n // f2, f2
+    raise ValueError(f"size {n} too large for two radix-512 stages")
 
 
-def _dft_wt(n: int, inverse: bool):
-    """Transposed DFT matrix pair W^T (numpy float32)."""
+def _dft_w(n: int, inverse: bool):
+    """Symmetric DFT matrix pair W[j, k] = exp(-+2pi i jk/n) (numpy f32)."""
     j, k = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
     ang = (2.0 if inverse else -2.0) * np.pi * (j * k % n) / n
-    return (
-        np.ascontiguousarray(np.cos(ang).astype(np.float32).T),
-        np.ascontiguousarray(np.sin(ang).astype(np.float32).T),
-    )
-
-
-def _twiddle(f1: int, f2: int, inverse: bool):
-    """[f1, f2] twiddle W_{f1 f2}^{k1 r} pair (numpy float32)."""
-    n = f1 * f2
-    kk, rr = np.meshgrid(np.arange(f1), np.arange(f2), indexing="ij")
-    ang = (2.0 if inverse else -2.0) * np.pi * (kk * rr % n) / n
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-def _fft2_consts(n: int, inverse: bool) -> list[np.ndarray]:
-    """Constants for the two-stage FFT, in consumption order."""
-    if n <= _MAX_RADIX:
-        return list(_dft_wt(n, inverse))
-    f1, f2 = _split2(n)
+def _twiddle(f1: int, f2: int, inverse: bool):
+    """[f1, f2] twiddle W_{f1 f2}^{k1 b} pair (numpy f32)."""
+    n = f1 * f2
+    kk, bb = np.meshgrid(np.arange(f1), np.arange(f2), indexing="ij")
+    ang = (2.0 if inverse else -2.0) * np.pi * (kk * bb % n) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _fft_consts(n: int, inverse: bool) -> list[np.ndarray]:
+    if n <= _LANE:
+        return list(_dft_w(n, inverse))
+    f1, f2 = _pick_split(n)
     return [
-        *_dft_wt(f1, inverse),
+        *_dft_w(f1, inverse),
         *_twiddle(f1, f2, inverse),
-        *_dft_wt(f2, inverse),
+        *_dft_w(f2, inverse),
     ]
+
+
+def _perm_consts(f1h: int, f2m: int, f1m: int) -> list[np.ndarray]:
+    """0/1 row-selection matrices building E from the transposed forward
+    output Mt [f2m, f1m] when the natural-row merge is unavailable
+    (f1m < 128). E rows P pick Mt rows (s*P + half) mod f2m for the lane
+    halves, where s = f2h // f1m (f2h = 128 lanes assumed)."""
+    s = _LANE // f1m  # lane halves per E row
+    mats = []
+    for half in range(s):
+        p = np.zeros((f1h, f2m), dtype=np.float32)
+        rows = (np.arange(f1h) * s + half) % f2m
+        p[np.arange(f1h), rows] = 1.0
+        mats.append(p)
+    return mats
 
 
 class _ConstFeed:
@@ -117,69 +131,73 @@ def _dot(a, b):
     )
 
 
-def _cdot2(wt_r, wt_i, ar, ai):
-    rr = _dot(wt_r, ar)
-    ii = _dot(wt_i, ai)
-    ri = _dot(wt_r, ai)
-    ir = _dot(wt_i, ar)
-    return rr - ii, ri + ir
-
-
-def _fft2_real(x_row, n, feed):
-    """Two-stage FFT of a REAL [1, n] row -> pair of [1, n] (natural order).
-
-    First stage needs only 2 matmuls (imag input is zero).
-    """
-    if n <= _MAX_RADIX:
-        wt_r = feed.take()
-        wt_i = feed.take()
-        col = x_row.reshape(n, 1)
-        return _dot(wt_r, col).reshape(1, n), _dot(wt_i, col).reshape(1, n)
-    f1, f2 = _split2(n)
-    a = x_row.reshape(f1, f2)
-    wt1_r = feed.take()
-    wt1_i = feed.take()
-    sr = _dot(wt1_r, a)
-    si = _dot(wt1_i, a)
+def _stage2_tail(sr, si, feed):
+    """Twiddle + lane-contraction stage shared by real/complex variants.
+    Input/output [f1, f2]; output M[k1, k2], natural order = M.T.flat."""
     t_r = feed.take()
     t_i = feed.take()
     cr = sr * t_r - si * t_i
     ci = sr * t_i + si * t_r
-    wt2_r = feed.take()
-    wt2_i = feed.take()
-    dr, di = _cdot2(wt2_r, wt2_i, cr.T, ci.T)  # [k2, k1]
-    return dr.reshape(1, n), di.reshape(1, n)
+    w2_r = feed.take()
+    w2_i = feed.take()
+    mr = _dot(cr, w2_r) - _dot(ci, w2_i)
+    mi = _dot(cr, w2_i) + _dot(ci, w2_r)
+    return mr, mi
 
 
-def _fft2_complex(zr, zi, n, feed):
-    """Two-stage FFT of a complex pair given as [f1, f2] matrices (row-major
-    natural input order) -> [k2, k1] pair (row-major natural output)."""
-    if n <= _MAX_RADIX:
-        wt_r = feed.take()
-        wt_i = feed.take()
-        return _cdot2(wt_r, wt_i, zr.reshape(n, 1), zi.reshape(n, 1))
-    wt1_r = feed.take()
-    wt1_i = feed.take()
-    sr, si = _cdot2(wt1_r, wt1_i, zr, zi)
-    t_r = feed.take()
-    t_i = feed.take()
-    cr = sr * t_r - si * t_i
-    ci = sr * t_i + si * t_r
-    wt2_r = feed.take()
-    wt2_i = feed.take()
-    return _cdot2(wt2_r, wt2_i, cr.T, ci.T)  # [k2, k1]
+def _fft_mat_real(x_mat, feed):
+    """Full DFT of a real [f1, f2] natural-split frame -> M[k1, k2]."""
+    w1_r = feed.take()
+    w1_i = feed.take()
+    sr = _dot(w1_r, x_mat)
+    si = _dot(w1_i, x_mat)
+    return _stage2_tail(sr, si, feed)
+
+
+def _fft_mat_complex(zr, zi, feed):
+    """Full DFT of a complex [f1, f2] natural-split pair -> M[k1, k2]."""
+    w1_r = feed.take()
+    w1_i = feed.take()
+    sr = _dot(w1_r, zr) - _dot(w1_i, zi)
+    si = _dot(w1_r, zi) + _dot(w1_i, zr)
+    return _stage2_tail(sr, si, feed)
+
+
+def _uses_perm_e(cfg: OverlapSaveConfig) -> bool:
+    """True when the forward output must feed E via permutation matmuls
+    (f1m < 128 forbids the natural-row merge) — the production 16x case."""
+    m = cfg.frame_in
+    if m <= _LANE:
+        return False
+    f1m, _ = _pick_split(m)
+    return f1m < _LANE and cfg.ratio >= 2
 
 
 def _plan_consts(cfg: OverlapSaveConfig) -> list[np.ndarray]:
-    consts = list(_fft2_consts(cfg.frame_in, inverse=False))
-    consts.extend(_fft2_consts(cfg.fft_size // 2, inverse=True))
+    m = cfg.frame_in
+    h = cfg.fft_size // 2
+    consts = list(_fft_consts(m, inverse=False))
+    if _uses_perm_e(cfg):
+        f1m, f2m = _pick_split(m)
+        f1h, f2h = _pick_split(h)
+        if f2h != _LANE:
+            raise ValueError(
+                "permuted-E path requires a 128-lane inverse split"
+            )
+        consts.extend(_perm_consts(f1h, f2m, f1m))
+    consts.extend(_fft_consts(h, inverse=True))
     return consts
 
 
 def fold_spectrum(spectrum, fft_size: int):
     """Fold the rfft filter spectrum (re, im) pair [h+1] into G1/G2 (see
-    module docstring). Pure jnp: runs under jit, the flip stays in the XLA
-    graph outside the Pallas kernel; hot-swap never recompiles."""
+    module docstring):
+
+      G1[k] = conj(A_k) H[k],   G2[k] = conj(B_k) conj(H[h-k]),
+      A_k = (1 - i W^k)/2,      B_k = (1 + i W^k)/2,  W = e^{-2pi i/fft}.
+
+    Pure jnp: runs under jit, the flip stays in the XLA graph outside the
+    Pallas kernel; hot-swap never recompiles."""
     hr, hi = spectrum
     h = fft_size // 2
     k = np.arange(h)
@@ -190,46 +208,68 @@ def fold_spectrum(spectrum, fft_size: int):
     ca_i = jnp.asarray((-a.imag).astype(np.float32))  # conj(A)
     cb_r = jnp.asarray(b.real.astype(np.float32))
     cb_i = jnp.asarray((-b.imag).astype(np.float32))  # conj(B)
-    h_r = hr[:h]
-    h_i = hi[:h]
+    h_r, h_i = hr[:h], hi[:h]
     hrev_r = jnp.flip(hr[1:])     # H[h-k], k = 0..h-1
     hrev_i = -jnp.flip(hi[1:])    # conj
     g1_r = ca_r * h_r - ca_i * h_i
     g1_i = ca_r * h_i + ca_i * h_r
     g2_r = cb_r * hrev_r - cb_i * hrev_i
     g2_i = cb_r * hrev_i + cb_i * hrev_r
-    f1, f2 = _split2(h) if h > _MAX_RADIX else (h, 1)
-    shape = (f1, f2)
+    shape = _pick_split(h) if h > _LANE else (1, h)
     return (g1_r.reshape(shape), g1_i.reshape(shape),
             g2_r.reshape(shape), g2_i.reshape(shape))
+
+
+def _forward_spectrum(x, cfg, feed):
+    """Frame [1, m] -> E/E2 matrices [f1h, f2h] (the zero-stuffed spectrum
+    in the inverse stage's natural split)."""
+    m = cfg.frame_in
+    h = cfg.fft_size // 2
+    eshape = _pick_split(h) if h > _LANE else (1, h)
+
+    if m <= _LANE:  # single-stage row DFT: natural [1, m] directly
+        w_r = feed.take()
+        w_i = feed.take()
+        xf_r = _dot(x, w_r)
+        xf_i = _dot(x, w_i)
+    else:
+        f1m, f2m = _pick_split(m)
+        x_mat = x.reshape(f1m, f2m)
+        mr, mi = _fft_mat_real(x_mat, feed)
+        if _uses_perm_e(cfg):
+            # E built from Mt without the (forbidden) lane-64 merge.
+            mtr = mr.T  # [f2m, f1m]
+            mti = mi.T
+            s = _LANE // f1m
+            perms = [feed.take() for _ in range(s)]
+            er = jnp.concatenate([_dot(p, mtr) for p in perms], axis=1)
+            ei = jnp.concatenate([_dot(p, mti) for p in perms], axis=1)
+            return er, ei, er, ei
+        xf_r = mr.T.reshape(1, m)
+        xf_i = mi.T.reshape(1, m)
+
+    reps = h // m
+    if reps >= 1:
+        er = jnp.tile(xf_r, (1, reps)) if reps > 1 else xf_r
+        ei = jnp.tile(xf_i, (1, reps)) if reps > 1 else xf_i
+        er = er.reshape(eshape)
+        ei = ei.reshape(eshape)
+        return er, ei, er, ei
+    # ratio == 1: h = m // 2; the second term reads the upper half.
+    return (
+        xf_r[:, :h].reshape(eshape), xf_i[:, :h].reshape(eshape),
+        xf_r[:, h:].reshape(eshape), xf_i[:, h:].reshape(eshape),
+    )
 
 
 def _fused_kernel(*refs, cfg: OverlapSaveConfig):
     (*const_refs, g1r_ref, g1i_ref, g2r_ref, g2i_ref, frame_ref,
      out_e_ref, out_o_ref) = refs
     feed = _ConstFeed(const_refs)
-    m = cfg.frame_in
     h = cfg.fft_size // 2
-    f1, f2 = _split2(h) if h > _MAX_RADIX else (h, 1)
 
-    x = frame_ref[...].reshape(1, m)
-    xf_r, xf_i = _fft2_real(x, m, feed)  # [1, m] full DFT, natural order
-
-    # Zero-stuffed spectrum on the half grid: E[k] = Xf[k mod m].
-    reps = h // m
-    if reps > 1:
-        er = jnp.tile(xf_r, (1, reps)).reshape(f1, f2)
-        ei = jnp.tile(xf_i, (1, reps)).reshape(f1, f2)
-        e2r, e2i = er, ei
-    elif reps == 1:
-        er = xf_r.reshape(f1, f2)
-        ei = xf_i.reshape(f1, f2)
-        e2r, e2i = er, ei
-    else:  # ratio == 1: h = m // 2; the second term reads the upper half.
-        er = xf_r[:, :h].reshape(f1, f2)
-        ei = xf_i[:, :h].reshape(f1, f2)
-        e2r = xf_r[:, h:].reshape(f1, f2)
-        e2i = xf_i[:, h:].reshape(f1, f2)
+    x = frame_ref[...].reshape(1, cfg.frame_in)
+    er, ei, e2r, e2i = _forward_spectrum(x, cfg, feed)
 
     g1r = g1r_ref[...]
     g1i = g1i_ref[...]
@@ -238,13 +278,20 @@ def _fused_kernel(*refs, cfg: OverlapSaveConfig):
     zr = er * g1r - ei * g1i + e2r * g2r - e2i * g2i
     zi = er * g1i + ei * g1r + e2r * g2i + e2i * g2r
 
-    yr, yi = _fft2_complex(zr, zi, h, feed)  # [k2, k1], unnormalized
+    if h <= _LANE:
+        w_r = feed.take()
+        w_i = feed.take()
+        tr = _dot(zr, w_r) - _dot(zi, w_i)
+        ti = _dot(zr, w_i) + _dot(zi, w_r)
+        flat_r, flat_i = tr, ti
+    else:
+        mr, mi = _fft_mat_complex(zr, zi, feed)
+        flat_r = mr.T.reshape(1, h)
+        flat_i = mi.T.reshape(1, h)
     scale = jnp.float32(1.0 / h)
     j0 = cfg.overlap // 2  # kept z-domain range: j in [j0, h)
-    flat_r = yr.reshape(1, h)[:, j0:] * scale
-    flat_i = yi.reshape(1, h)[:, j0:] * scale
-    out_e_ref[...] = flat_r[None]  # out[2j]   = Re z[j]
-    out_o_ref[...] = flat_i[None]  # out[2j+1] = Im z[j]
+    out_e_ref[...] = (flat_r[:, j0:] * scale)[None]  # out[2j]   = Re z[j]
+    out_o_ref[...] = (flat_i[:, j0:] * scale)[None]  # out[2j+1] = Im z[j]
 
 
 @functools.lru_cache(maxsize=16)
@@ -258,7 +305,7 @@ def _build_fused(cfg: OverlapSaveConfig, interpret: bool = False):
     const_arrays = [jnp.asarray(c) for c in consts]
     kernel = functools.partial(_fused_kernel, cfg=cfg)
     h = cfg.fft_size // 2
-    f1, f2 = _split2(h) if h > _MAX_RADIX else (h, 1)
+    g_shape = _pick_split(h) if h > _LANE else (1, h)
     half_block = cfg.block_size // 2
 
     const_specs = [
@@ -266,7 +313,7 @@ def _build_fused(cfg: OverlapSaveConfig, interpret: bool = False):
                      memory_space=pltpu.VMEM)
         for c in consts
     ]
-    g_spec = pl.BlockSpec((f1, f2), lambda i: (0, 0),
+    g_spec = pl.BlockSpec(g_shape, lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
     half_spec = pl.BlockSpec((1, 1, half_block), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
