@@ -222,16 +222,24 @@ def fold_spectrum(spectrum, fft_size: int):
 
 def _forward_spectrum(x, cfg, feed):
     """Frame [1, m] -> E/E2 matrices [f1h, f2h] (the zero-stuffed spectrum
-    in the inverse stage's natural split)."""
+    in the inverse stage's natural split).
+
+    Stays in matrix form throughout: [1, m] single-row values get 8x
+    sublane padding in VMEM (the source of a 2 MB scoped-vmem overflow in
+    the first hardware compile), so tiling/slicing happens on
+    [m//f2h, f2h] natural-order matrices via row concat / row slices.
+    """
     m = cfg.frame_in
     h = cfg.fft_size // 2
-    eshape = _pick_split(h) if h > _LANE else (1, h)
+    f1h, f2h = _pick_split(h) if h > _LANE else (1, h)
 
-    if m <= _LANE:  # single-stage row DFT: natural [1, m] directly
+    if m <= _LANE:  # single-stage row DFT (interpret-only path)
         w_r = feed.take()
         w_i = feed.take()
         xf_r = _dot(x, w_r)
         xf_i = _dot(x, w_i)
+        xm_r = xf_r.reshape(-1, f2h) if h > _LANE else xf_r
+        xm_i = xf_i.reshape(-1, f2h) if h > _LANE else xf_i
     else:
         f1m, f2m = _pick_split(m)
         x_mat = x.reshape(f1m, f2m)
@@ -240,26 +248,28 @@ def _forward_spectrum(x, cfg, feed):
             # E built from Mt without the (forbidden) lane-64 merge.
             mtr = mr.T  # [f2m, f1m]
             mti = mi.T
-            s = _LANE // f1m
-            perms = [feed.take() for _ in range(s)]
+            nsel = _LANE // f1m
+            perms = [feed.take() for _ in range(nsel)]
             er = jnp.concatenate([_dot(p, mtr) for p in perms], axis=1)
             ei = jnp.concatenate([_dot(p, mti) for p in perms], axis=1)
             return er, ei, er, ei
-        xf_r = mr.T.reshape(1, m)
-        xf_i = mi.T.reshape(1, m)
+        # Natural-order matrix with the inverse stage's lane width.
+        xm_r = mr.T.reshape(m // f2h, f2h)
+        xm_i = mi.T.reshape(m // f2h, f2h)
 
     reps = h // m
     if reps >= 1:
-        er = jnp.tile(xf_r, (1, reps)) if reps > 1 else xf_r
-        ei = jnp.tile(xf_i, (1, reps)) if reps > 1 else xf_i
-        er = er.reshape(eshape)
-        ei = ei.reshape(eshape)
+        # Flat tiling == vertical (row) tiling of the natural matrix.
+        er = (jnp.concatenate([xm_r] * reps, axis=0) if reps > 1 else xm_r)
+        ei = (jnp.concatenate([xm_i] * reps, axis=0) if reps > 1 else xm_i)
         return er, ei, er, ei
-    # ratio == 1: h = m // 2; the second term reads the upper half.
-    return (
-        xf_r[:, :h].reshape(eshape), xf_i[:, :h].reshape(eshape),
-        xf_r[:, h:].reshape(eshape), xf_i[:, h:].reshape(eshape),
-    )
+    # ratio == 1: h = m // 2; the second term reads the upper half (h is a
+    # whole number of rows: h % f2h == 0).
+    half_rows = h // f2h if h > _LANE else 1
+    if h > _LANE:
+        return (xm_r[:half_rows], xm_i[:half_rows],
+                xm_r[half_rows:], xm_i[half_rows:])
+    return (xm_r[:, :h], xm_i[:, :h], xm_r[:, h:], xm_i[:, h:])
 
 
 def _fused_kernel(*refs, cfg: OverlapSaveConfig):
@@ -278,20 +288,24 @@ def _fused_kernel(*refs, cfg: OverlapSaveConfig):
     zr = er * g1r - ei * g1i + e2r * g2r - e2i * g2i
     zi = er * g1i + ei * g1r + e2r * g2i + e2i * g2r
 
+    scale = jnp.float32(1.0 / h)
+    j0 = cfg.overlap // 2  # kept z-domain range: j in [j0, h)
     if h <= _LANE:
         w_r = feed.take()
         w_i = feed.take()
         tr = _dot(zr, w_r) - _dot(zi, w_i)
         ti = _dot(zr, w_i) + _dot(zi, w_r)
-        flat_r, flat_i = tr, ti
-    else:
-        mr, mi = _fft_mat_complex(zr, zi, feed)
-        flat_r = mr.T.reshape(1, h)
-        flat_i = mi.T.reshape(1, h)
-    scale = jnp.float32(1.0 / h)
-    j0 = cfg.overlap // 2  # kept z-domain range: j in [j0, h)
-    out_e_ref[...] = (flat_r[:, j0:] * scale)[None]  # out[2j]   = Re z[j]
-    out_o_ref[...] = (flat_i[:, j0:] * scale)[None]  # out[2j+1] = Im z[j]
+        out_e_ref[...] = (tr[:, j0:] * scale)[None]
+        out_o_ref[...] = (ti[:, j0:] * scale)[None]
+        return
+    # Matrix-form output: Mt = M.T [f2h, f1h] is the natural order
+    # reshaped with row stride f1h. Emit whole rows from j0's row on; XLA
+    # trims the sub-row remainder outside the kernel.
+    f1h, _ = _pick_split(h)
+    row0 = j0 // f1h
+    mr, mi = _fft_mat_complex(zr, zi, feed)
+    out_e_ref[...] = (mr.T[row0:] * scale)[None]  # out[2j]   = Re z[j]
+    out_o_ref[...] = (mi.T[row0:] * scale)[None]  # out[2j+1] = Im z[j]
 
 
 @functools.lru_cache(maxsize=16)
@@ -307,6 +321,7 @@ def _build_fused(cfg: OverlapSaveConfig, interpret: bool = False):
     h = cfg.fft_size // 2
     g_shape = _pick_split(h) if h > _LANE else (1, h)
     half_block = cfg.block_size // 2
+    j0 = cfg.overlap // 2
 
     const_specs = [
         pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd,
@@ -315,7 +330,14 @@ def _build_fused(cfg: OverlapSaveConfig, interpret: bool = False):
     ]
     g_spec = pl.BlockSpec(g_shape, lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    half_spec = pl.BlockSpec((1, 1, half_block), lambda i: (i, 0, 0),
+    if h <= _LANE:
+        out_rows, out_cols, rem = 1, half_block, 0
+    else:
+        f1h, f2h = _pick_split(h)
+        row0 = j0 // f1h
+        rem = j0 % f1h
+        out_rows, out_cols = f2h - row0, f1h
+    half_spec = pl.BlockSpec((1, out_rows, out_cols), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
 
     def call(frames, g1r, g1i, g2r, g2i):
@@ -331,17 +353,16 @@ def _build_fused(cfg: OverlapSaveConfig, interpret: bool = False):
             ],
             out_specs=(half_spec, half_spec),
             out_shape=(
-                jax.ShapeDtypeStruct((n, 1, half_block), jnp.float32),
-                jax.ShapeDtypeStruct((n, 1, half_block), jnp.float32),
+                jax.ShapeDtypeStruct((n, out_rows, out_cols), jnp.float32),
+                jax.ShapeDtypeStruct((n, out_rows, out_cols), jnp.float32),
             ),
             interpret=interpret,
         )(*const_arrays, g1r, g1i, g2r, g2i, frames3)
-        # Interleave even/odd outside the kernel (no strided stores in
-        # Mosaic): out[2j] = e[j], out[2j+1] = o[j].
-        stacked = jnp.stack(
-            [out_e.reshape(n, half_block), out_o.reshape(n, half_block)],
-            axis=-1,
-        )
+        # Trim the sub-row remainder and interleave even/odd outside the
+        # kernel (no strided stores in Mosaic): out[2j]=e[j], out[2j+1]=o[j].
+        e = out_e.reshape(n, out_rows * out_cols)[:, rem : rem + half_block]
+        o = out_o.reshape(n, out_rows * out_cols)[:, rem : rem + half_block]
+        stacked = jnp.stack([e, o], axis=-1)
         return stacked.reshape(n, cfg.block_size)
 
     return jax.jit(call)
