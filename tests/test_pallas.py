@@ -19,10 +19,10 @@ from totton_tpu.ops.pallas_kernels import (
 
 
 class TestPickSplit:
-    def test_lane_first(self):
-        # f2 (lanes) stays >= 128; f1 (rows) <= 512.
-        assert _pick_split(65536) == (512, 128)
-        assert _pick_split(131072) == (512, 256)
+    def test_balanced_lane_floor(self):
+        # Balanced split; f2 (lanes) stays >= 128; f1 (rows) <= 512.
+        assert _pick_split(65536) == (256, 256)
+        assert _pick_split(131072) == (256, 512)
         assert _pick_split(262144) == (512, 512)
         assert _pick_split(16384) == (128, 128)
         assert _pick_split(8192) == (64, 128)
@@ -68,6 +68,7 @@ def test_fold_spectrum_shapes():
     spec = filter_spectrum(np.random.default_rng(0).normal(size=257), 2048)
     g1r, g1i, g2r, g2i = fold_spectrum(spec, 2048)
     assert g1r.shape == g2i.shape == (8, 128)  # h=1024 -> [8, 128]
+
 
 
 def test_odd_overlap_rejected():

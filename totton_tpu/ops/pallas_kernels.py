@@ -65,10 +65,12 @@ def _pick_split(n: int) -> tuple[int, int]:
     """
     if n == 0 or n & (n - 1):
         raise ValueError(f"power-of-two size required, got {n}")
-    for f2 in (128, 256, 512):
-        if n % f2 == 0 and n // f2 <= _MAX_ROWS:
-            return n // f2, f2
-    raise ValueError(f"size {n} too large for two radix-512 stages")
+    log = n.bit_length() - 1
+    f2 = max(_LANE, 1 << ((log + 1) // 2))  # balanced, lanes >= 128
+    f1 = n // f2
+    if f1 > _MAX_ROWS or f2 > 512:
+        raise ValueError(f"size {n} too large for two radix-512 stages")
+    return f1, f2
 
 
 def _dft_w(n: int, inverse: bool):
@@ -97,16 +99,16 @@ def _fft_consts(n: int, inverse: bool) -> list[np.ndarray]:
     ]
 
 
-def _perm_consts(f1h: int, f2m: int, f1m: int) -> list[np.ndarray]:
+def _perm_consts(f1h: int, f2h: int, f2m: int, f1m: int) -> list[np.ndarray]:
     """0/1 row-selection matrices building E from the transposed forward
     output Mt [f2m, f1m] when the natural-row merge is unavailable
-    (f1m < 128). E rows P pick Mt rows (s*P + half) mod f2m for the lane
-    halves, where s = f2h // f1m (f2h = 128 lanes assumed)."""
-    s = _LANE // f1m  # lane halves per E row
+    (f1m < 128). E_mat[P, q*f1m : (q+1)*f1m] = Mt[(s*P + q) mod f2m, :]
+    with s = f2h // f1m lane sections."""
+    s = f2h // f1m
     mats = []
-    for half in range(s):
+    for q in range(s):
         p = np.zeros((f1h, f2m), dtype=np.float32)
-        rows = (np.arange(f1h) * s + half) % f2m
+        rows = (np.arange(f1h) * s + q) % f2m
         p[np.arange(f1h), rows] = 1.0
         mats.append(p)
     return mats
@@ -180,11 +182,7 @@ def _plan_consts(cfg: OverlapSaveConfig) -> list[np.ndarray]:
     if _uses_perm_e(cfg):
         f1m, f2m = _pick_split(m)
         f1h, f2h = _pick_split(h)
-        if f2h != _LANE:
-            raise ValueError(
-                "permuted-E path requires a 128-lane inverse split"
-            )
-        consts.extend(_perm_consts(f1h, f2m, f1m))
+        consts.extend(_perm_consts(f1h, f2h, f2m, f1m))
     consts.extend(_fft_consts(h, inverse=True))
     return consts
 
@@ -248,7 +246,8 @@ def _forward_spectrum(x, cfg, feed):
             # E built from Mt without the (forbidden) lane-64 merge.
             mtr = mr.T  # [f2m, f1m]
             mti = mi.T
-            nsel = _LANE // f1m
+            f2h = _pick_split(h)[1] if h > _LANE else h
+            nsel = f2h // f1m
             perms = [feed.take() for _ in range(nsel)]
             er = jnp.concatenate([_dot(p, mtr) for p in perms], axis=1)
             ei = jnp.concatenate([_dot(p, mti) for p in perms], axis=1)
