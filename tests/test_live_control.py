@@ -1,0 +1,68 @@
+"""Live control-plane e2e: the streamer serving the ZMQ protocol in-process,
+with RELOAD / PHASE_TYPE_SET / SOFT_RESET acting on the running engine
+(capability the reference lacks — its daemon is a counter stub)."""
+
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from totton_tpu.control.client import DaemonClient
+from totton_tpu.filters.generate import generate_one
+
+
+@pytest.fixture(scope="module")
+def phase_filter_dir(tmp_path_factory):
+    """A directory with BOTH phases of the same geometry (hot-swappable)."""
+    out = tmp_path_factory.mktemp("phase_coeff")
+    generate_one("44k_2x", 2000, 25.0, 140.0, "minimum", str(out))
+    generate_one("44k_2x", 2000, 25.0, 140.0, "linear", str(out))
+    return out
+
+
+def test_streamer_with_live_control(phase_filter_dir, tmp_path):
+    endpoint = f"ipc://{tmp_path}/live.sock"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.stream",
+         "--in", "null", "--out", "null", "--rate", "352800",
+         "--ratio", "2", "--filter-dir", str(phase_filter_dir),
+         "--control-endpoint", endpoint,
+         "--stats-path", str(tmp_path / "stats.json"),
+         "--duration", "60"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        client = DaemonClient(endpoint=endpoint, timeout_ms=1000)
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if client.ping():
+                break
+            time.sleep(0.2)
+        else:
+            proc.kill()
+            pytest.fail(f"streamer never served PING: {proc.stdout.read()}")
+
+        # Live phase swap (same geometry -> no recompile, no restart).
+        r = client.set_phase_type("linear")
+        assert r.ok, r.raw
+        assert client.get_phase_type().data["phase_type"] == "linear"
+
+        assert client.reload_config().ok
+        assert client.soft_reset().ok
+
+        stats = client.stats()
+        assert stats.ok and stats.data["reloads"] >= 1
+
+        # SHUTDOWN stops the stream loop and exits cleanly.
+        assert client.shutdown().ok
+        assert proc.wait(timeout=60) == 0
+        out = proc.stdout.read()
+        assert "Live reload:" in out
+        assert "linear_phase" in out
+        assert "Streaming stopped" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threaded", action="store_true",
                    help="feeder/drainer threads around the device dispatch "
                         "(live-mode pipeline)")
+    p.add_argument("--control-endpoint", metavar="ENDPOINT",
+                   help="serve the ZMQ control protocol from inside the "
+                        "streamer (RELOAD/SOFT_RESET/PHASE_TYPE_* act on "
+                        "the live engine; e.g. ipc:///tmp/totton_zmq.sock)")
     return p
 
 
@@ -168,6 +172,56 @@ def main(argv: list[str] | None = None) -> int:
     signal.signal(signal.SIGINT, handle_signal)
     signal.signal(signal.SIGTERM, handle_signal)
 
+    # In-process control plane: unlike the reference (whose shipped daemon
+    # is a counter-only stub and RELOAD needs a container restart,
+    # SURVEY.md L1 note), these commands act on the live engine.
+    daemon = None
+    if args.control_endpoint:
+        from totton_tpu.control.daemon import ControlDaemon
+
+        upsampler = getattr(engine, "upsampler", engine)
+        current_phase = {"value": "minimum" if args.phase in ("min", "minimum")
+                         else "linear"}
+
+        def reload_filter(phase: str) -> None:
+            path = resolve_filter_path(
+                filter_path=None, filter_dir=args.filter_dir, phase=phase,
+                ratio=upsampler.ratio, input_rate=input_rate,
+            )
+            eq = None
+            if args.eq_profile:
+                profile = parse_eq_file(args.eq_profile)
+                eq = profile_response_for_fft(
+                    profile, upsampler.config.fft_size,
+                    input_rate * upsampler.ratio,
+                )
+            upsampler.load_filter(load_filter(path), eq_response=eq)
+            print(f"Live reload: {path}", file=sys.stderr)
+
+        def on_reload() -> None:
+            reload_filter(current_phase["value"])
+
+        def on_phase_change(phase: str) -> None:
+            current_phase["value"] = phase
+            reload_filter(phase)
+
+        daemon = ControlDaemon(
+            endpoint=args.control_endpoint,
+            on_reload=on_reload,
+            on_soft_reset=upsampler.reset,
+            on_phase_change=on_phase_change,
+            stats_path=args.stats_path,
+        )
+        daemon.start()
+        print(f"Control endpoint: {args.control_endpoint}", file=sys.stderr)
+
+        import threading
+
+        threading.Thread(
+            target=lambda: (daemon.wait_for_shutdown(), session.stop()),
+            daemon=True, name="totton-shutdown-watch",
+        ).start()
+
     max_frames = None
     if args.duration:
         max_frames = int(args.duration * input_rate)
@@ -178,6 +232,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         stats = session.run(max_frames=max_frames)
     finally:
+        if daemon is not None:
+            daemon.stop()
         source.close()
         sink.close()
     print("Streaming stopped", file=sys.stderr)

@@ -10,6 +10,8 @@ src/alsa/alsa_streamer_main.cpp:248-250; here channels are just a batch axis
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -46,6 +48,9 @@ class StreamingUpsampler:
         )
         self._step = make_block_step(self.config)
         self._tail = jnp.zeros((channels, self.config.halo_in), jnp.float32)
+        # Serializes hot-swap (set_eq/load_filter/reset from a control
+        # thread) against the streaming thread's process_block.
+        self._lock = threading.Lock()
 
     @classmethod
     def from_file(
@@ -79,7 +84,8 @@ class StreamingUpsampler:
     def reset(self) -> None:
         """Zero the carried history (reference Reset(),
         vulkan_streaming_upsampler.cpp:598-600)."""
-        self._tail = jnp.zeros_like(self._tail)
+        with self._lock:
+            self._tail = jnp.zeros_like(self._tail)
 
     def set_eq(self, eq_response: np.ndarray | None) -> None:
         """Hot-swap the EQ baked into the filter spectrum.
@@ -87,21 +93,26 @@ class StreamingUpsampler:
         The spectrum is a traced argument of the jitted step, so this never
         triggers recompilation (live RELOAD support).
         """
-        self._spectrum = filter_spectrum(
+        spectrum = filter_spectrum(
             self._filter.taps, self.config.fft_size, eq_response
         )
+        with self._lock:
+            self._spectrum = spectrum
 
     def load_filter(
         self, filt: LoadedFilter, eq_response: np.ndarray | None = None
     ) -> None:
         """Swap filters. Recompiles only if the overlap-save geometry differs."""
         cfg = OverlapSaveConfig.from_sidecar(filt.sidecar)
-        self._filter = filt
-        if cfg != self.config:
-            self.config = cfg
-            self._step = make_block_step(cfg)
-            self._tail = jnp.zeros((self._channels, cfg.halo_in), jnp.float32)
-        self._spectrum = filter_spectrum(filt.taps, cfg.fft_size, eq_response)
+        spectrum = filter_spectrum(filt.taps, cfg.fft_size, eq_response)
+        with self._lock:
+            self._filter = filt
+            if cfg != self.config:
+                self.config = cfg
+                self._step = make_block_step(cfg)
+                self._tail = jnp.zeros((self._channels, cfg.halo_in),
+                                       jnp.float32)
+            self._spectrum = spectrum
 
     # -- processing -------------------------------------------------------
 
@@ -116,12 +127,15 @@ class StreamingUpsampler:
             raise ValueError(
                 f"expected [channels={self._channels}, n] input, got {x.shape}"
             )
-        if x.shape[1] == 0 or x.shape[1] % self.config.block_in != 0:
-            raise ValueError(
-                f"input length {x.shape[1]} must be a positive multiple of "
-                f"block_input_frames {self.config.block_in}"
+        with self._lock:
+            if x.shape[1] == 0 or x.shape[1] % self.config.block_in != 0:
+                raise ValueError(
+                    f"input length {x.shape[1]} must be a positive multiple "
+                    f"of block_input_frames {self.config.block_in}"
+                )
+            y, self._tail = self._step(
+                self._tail, jnp.asarray(x), self._spectrum
             )
-        y, self._tail = self._step(self._tail, jnp.asarray(x), self._spectrum)
         return np.asarray(y)
 
 
