@@ -43,18 +43,26 @@ import jax.numpy as jnp
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
-#: Largest direct-DFT stage; 128 matches the MXU tile.
-_MAX_RADIX = 128
+#: Largest direct-DFT stage. 512 keeps two-stage factorizations for all
+#: production sizes (fewer stages = fewer HBM passes between matmuls).
+_MAX_RADIX = 512
 
 
 def _factorize(n: int) -> tuple[int, ...]:
-    """Split a power of two into factors <= _MAX_RADIX, largest first."""
+    """Balanced split into the fewest factors <= _MAX_RADIX.
+
+    Two balanced stages (e.g. 65536 -> 256 x 256) beat three small ones:
+    each inter-stage transpose is a full HBM pass of the working set, and
+    larger DFT matmuls utilize the MXU better.
+    """
     if n == 0 or n & (n - 1):
         raise ValueError(f"FFT size must be a power of two, got {n}")
     factors = []
     while n > _MAX_RADIX:
-        factors.append(_MAX_RADIX)
-        n //= _MAX_RADIX
+        log = n.bit_length() - 1
+        f = min(_MAX_RADIX, 1 << ((log + 1) // 2))
+        factors.append(f)
+        n //= f
     factors.append(n)
     return tuple(factors)
 
