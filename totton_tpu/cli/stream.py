@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threaded", action="store_true",
                    help="feeder/drainer threads around the device dispatch "
                         "(live-mode pipeline)")
+    p.add_argument("--shard-time", type=int, default=0, metavar="N",
+                   help="shard time blocks across N devices of the mesh "
+                        "(ppermute halo exchange; 0 = single device)")
+    p.add_argument("--shard-channel", type=int, default=1, metavar="N",
+                   help="shard channels across N devices (with --shard-time)")
     p.add_argument("--control-endpoint", metavar="ENDPOINT",
                    help="serve the ZMQ control protocol from inside the "
                         "streamer (RELOAD/SOFT_RESET/PHASE_TYPE_* act on "
@@ -140,8 +145,17 @@ def main(argv: list[str] | None = None) -> int:
               f"({profile.active_band_count} active bands, "
               f"preamp {profile.preamp_db} dB)", file=sys.stderr)
 
-    engine = StreamingUpsampler(loaded, channels=source.channels,
-                                eq_response=eq_response)
+    if args.shard_time:
+        from totton_tpu.parallel import ShardedUpsampler, make_mesh
+
+        mesh = make_mesh(n_channel=args.shard_channel, n_time=args.shard_time)
+        engine = ShardedUpsampler(loaded, mesh, channels=source.channels,
+                                  eq_response=eq_response)
+        print(f"Sharded engine: mesh {dict(mesh.shape)}, dispatch granule "
+              f"{engine.block_input_frames} input frames", file=sys.stderr)
+    else:
+        engine = StreamingUpsampler(loaded, channels=source.channels,
+                                    eq_response=eq_response)
     if args.crossfeed:
         from totton_tpu.engine.chain import CrossfeedChain
         from totton_tpu.engine.crossfeed import CrossfeedFilter, CrossfeedProcessor

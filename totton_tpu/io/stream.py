@@ -135,10 +135,15 @@ class StreamSession:
             want = self.period_frames
             if frames_remaining is not None:
                 want = min(want, frames_remaining)
-                if want == 0:
-                    break
-            chunk = self.source.read_frames(want)
-            got = chunk.shape[1]
+            if want == 0:
+                # max_frames reached: flush like EOF (don't drop the
+                # partial block accumulated in the ring).
+                eof = True
+                got = 0
+                chunk = None
+            else:
+                chunk = self.source.read_frames(want)
+                got = chunk.shape[1]
             if got == 0:
                 eof = True
             else:

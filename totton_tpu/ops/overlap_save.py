@@ -222,8 +222,13 @@ def _fold_g(spectrum, fft_size: int):
     h_r, h_i = hr[:h], hi[:h]
     hrev_r = jnp.flip(hr[1:])      # H[h-k], k = 0..h-1
     hrev_i = -jnp.flip(hi[1:])     # conj
-    g1 = (ca_r * h_r - ca_i * h_i, ca_r * h_i + ca_i * h_r)
-    g2 = (cb_r * hrev_r - cb_i * hrev_i, cb_r * hrev_i + cb_i * hrev_r)
+    # Fold the inverse transform's 1/h normalization into G (one fewer
+    # full-array pass at runtime).
+    inv_h = np.float32(1.0 / h)
+    g1 = ((ca_r * h_r - ca_i * h_i) * inv_h,
+          (ca_r * h_i + ca_i * h_r) * inv_h)
+    g2 = ((cb_r * hrev_r - cb_i * hrev_i) * inv_h,
+          (cb_r * hrev_i + cb_i * hrev_r) * inv_h)
     return g1, g2
 
 
@@ -266,7 +271,8 @@ def upsample_frames(
         e2r, e2i = xr[..., h:], xi[..., h:]
     zr = er * g1r - ei * g1i + e2r * g2r - e2i * g2i
     zi = er * g1i + ei * g1r + e2r * g2i + e2i * g2r
-    tr, ti = _fft.ifft2(zr, zi, h)
+    # Unnormalized inverse: 1/h is folded into G above.
+    tr, ti = _fft._fft_rec(zr, zi, _fft._factorize(h), inverse=True)
     # out[2j] = Re z[j], out[2j+1] = Im z[j]; keep j >= overlap/2.
     j0 = cfg.overlap // 2
     out = jnp.stack([tr[..., j0:], ti[..., j0:]], axis=-1)

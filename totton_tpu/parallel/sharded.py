@@ -156,6 +156,17 @@ class ShardedUpsampler:
         n_time = mesh.shape["time"]
         #: fresh input samples required per process_block call
         self.step_input_frames = self.config.block_in * n_time
+        # Per-shard input must cover the halo; this multiplier makes
+        # block_input_frames a safe dispatch granule for stream sessions.
+        mult = 1
+        while (mult * self.config.block_in) < self.config.halo_in:
+            mult *= 2
+        #: safe dispatch granule (multiple of step_input_frames whose
+        #: per-shard length covers the halo)
+        self.block_input_frames = self.step_input_frames * mult
+        import threading
+
+        self._lock = threading.Lock()
 
     @property
     def ratio(self) -> int:
@@ -166,12 +177,30 @@ class ShardedUpsampler:
         return self._channels
 
     def reset(self) -> None:
-        self._tail = jnp.zeros_like(self._tail)
+        with self._lock:
+            self._tail = jnp.zeros_like(self._tail)
 
     def set_eq(self, eq_response: np.ndarray | None) -> None:
-        self._spectrum = filter_spectrum(
+        spectrum = filter_spectrum(
             self._filter.taps, self.config.fft_size, eq_response
         )
+        with self._lock:
+            self._spectrum = spectrum
+
+    def load_filter(
+        self, filt: LoadedFilter, eq_response: np.ndarray | None = None
+    ) -> None:
+        """Swap filters (same-geometry swaps never recompile)."""
+        cfg = OverlapSaveConfig.from_sidecar(filt.sidecar)
+        spectrum = filter_spectrum(filt.taps, cfg.fft_size, eq_response)
+        with self._lock:
+            self._filter = filt
+            if cfg != self.config:
+                raise ValueError(
+                    "sharded engine filter swap requires identical "
+                    f"overlap-save geometry (have {self.config}, new {cfg})"
+                )
+            self._spectrum = spectrum
 
     def process_block(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, dtype=np.float32)
@@ -185,8 +214,9 @@ class ShardedUpsampler:
                 f"step_input_frames {self.step_input_frames}"
             )
         _check_shapes(self.config, self.mesh, x.shape[0], x.shape[1])
-        xs = jax.device_put(
-            jnp.asarray(x), NamedSharding(self.mesh, P("channel", "time"))
-        )
-        y, self._tail = self._step(self._tail, xs, self._spectrum)
+        with self._lock:
+            xs = jax.device_put(
+                jnp.asarray(x), NamedSharding(self.mesh, P("channel", "time"))
+            )
+            y, self._tail = self._step(self._tail, xs, self._spectrum)
         return np.asarray(y)
