@@ -54,7 +54,7 @@ def main() -> int:
     hr, hi = filter_spectrum(h, cfg.fft_size)
 
     channels = 2
-    blocks = 64
+    blocks = 128
     k_chain = 10
     rng = np.random.default_rng(0)
     x = jax.device_put(
