@@ -34,7 +34,9 @@ def test_streamer_with_live_control(phase_filter_dir, tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     try:
-        client = DaemonClient(endpoint=endpoint, timeout_ms=1000)
+        # Generous timeout: PHASE_TYPE_SET does real work in the handler
+        # (filter load from disk + spectrum FFT), ~1-2 s on the CPU backend.
+        client = DaemonClient(endpoint=endpoint, timeout_ms=15000)
         deadline = time.monotonic() + 60
         while time.monotonic() < deadline:
             if client.ping():
