@@ -232,6 +232,119 @@ def _fold_g(spectrum, fft_size: int):
     return g1, g2
 
 
+def _absorbed_eligible(cfg: OverlapSaveConfig) -> bool:
+    """The tile-absorbed inverse applies when the half-size inverse is a
+    two-stage factorization and the frame splits evenly into its lane
+    factor (always true for the production geometries)."""
+    if cfg.overlap % 2 != 0 or cfg.ratio < 2:
+        return False
+    m = cfg.frame_in
+    h = cfg.fft_size // 2
+    factors = _fft._factorize(h)
+    if len(factors) != 2:
+        return False
+    _, q2 = factors
+    return m % q2 == 0
+
+
+@functools.lru_cache(maxsize=64)
+def _absorbed_consts(m: int, h: int):
+    """Host constants of the tile-absorbed inverse (numpy float32 pairs).
+
+    Wt[k1, t, s] = exp(+2pi i (t*r_m + s) k1 / P2)   (stage-1 DFT, p split)
+    Wh[k1, q]    = exp(+2pi i k1 q / h)              (inter-stage twiddle)
+    W2[q, k2']   = exp(+2pi i q (k2_0 + k2') / Q2)   (stage 2, pruned cols)
+    """
+    p2, q2 = _fft._factorize(h)
+    r_m = m // q2
+    t_reps = p2 // r_m
+    k1 = np.arange(p2)[:, None, None]
+    tt = np.arange(t_reps)[None, :, None]
+    ss = np.arange(r_m)[None, None, :]
+    ang = 2.0 * np.pi * (((tt * r_m + ss) * k1) % p2) / p2
+    wt = (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+    kk, qq = np.meshgrid(np.arange(p2), np.arange(q2), indexing="ij")
+    ang_h = 2.0 * np.pi * ((kk * qq) % h) / h
+    wh = (np.cos(ang_h).astype(np.float32), np.sin(ang_h).astype(np.float32))
+    return p2, q2, r_m, t_reps, wt, wh
+
+
+@functools.lru_cache(maxsize=64)
+def _stage2_matrix(q2: int, p2: int, k2_0: int):
+    """Pruned stage-2 DFT matrix W_{Q2}^{+q k2}, columns k2 >= k2_0."""
+    qq, kk = np.meshgrid(np.arange(q2), np.arange(k2_0, q2), indexing="ij")
+    ang = 2.0 * np.pi * ((qq * kk) % q2) / q2
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _upsample_frames_absorbed(
+    frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
+) -> jnp.ndarray:
+    """Tile-absorbed inverse: the hot path for ratio >= 2 (see
+    upsample_frames docstring). Per frame it materializes only the m-point
+    forward spectrum and the two [P2, Q2]-sized inverse stages — the
+    h-point tiled spectrum E and the elementwise Z pass of the folded
+    formulation never exist, and the pruned stage 2 emits only the kept
+    ~block/2 z-domain samples (the overlap region is never computed)."""
+    m = cfg.frame_in
+    h = cfg.fft_size // 2
+    p2, q2, r_m, t_reps, (wt_r, wt_i), (wh_r, wh_i) = _absorbed_consts(m, h)
+
+    # Fold the filter into the stage-1 weights (traced: hot-swap never
+    # recompiles). For ratio >= 2 the two folded terms share E (the tiled
+    # spectrum is Hermitian-symmetric), so G = G1 + G2 up front.
+    (g1r, g1i), (g2r, g2i) = _fold_g(spectrum, cfg.fft_size)
+    gr = (g1r + g2r).reshape(t_reps, r_m, q2)
+    gi = (g1i + g2i).reshape(t_reps, r_m, q2)
+    # GW0[k1, s, q] = sum_t G[(t r_m + s) Q2 + q] W_P2^{+(t r_m + s) k1}
+    gw0_r = (
+        jnp.einsum("tsq,kts->ksq", gr, wt_r, precision=_fft._PRECISION)
+        - jnp.einsum("tsq,kts->ksq", gi, wt_i, precision=_fft._PRECISION)
+    )
+    gw0_i = (
+        jnp.einsum("tsq,kts->ksq", gr, wt_i, precision=_fft._PRECISION)
+        + jnp.einsum("tsq,kts->ksq", gi, wt_r, precision=_fft._PRECISION)
+    )
+    # Inter-stage twiddle folded in: GW = GW0 * W_h^{+k1 q}.
+    gw_r = gw0_r * wh_r[:, None, :] - gw0_i * wh_i[:, None, :]
+    gw_i = gw0_r * wh_i[:, None, :] + gw0_i * wh_r[:, None, :]
+
+    # Forward: full m-point DFT of the real frame, natural order.
+    xr, xi = _fft.fft2_real(frames.astype(jnp.float32), m)
+    xn_r = xr.reshape(xr.shape[:-1] + (r_m, q2))
+    xn_i = xi.reshape(xi.shape[:-1] + (r_m, q2))
+
+    # Inverse stage 1 with tile/filter/twiddle absorbed (contract s = r_m).
+    cr = (
+        jnp.einsum("...sq,ksq->...kq", xn_r, gw_r, precision=_fft._PRECISION)
+        - jnp.einsum("...sq,ksq->...kq", xn_i, gw_i, precision=_fft._PRECISION)
+    )
+    ci = (
+        jnp.einsum("...sq,ksq->...kq", xn_r, gw_i, precision=_fft._PRECISION)
+        + jnp.einsum("...sq,ksq->...kq", xn_i, gw_r, precision=_fft._PRECISION)
+    )
+
+    # Inverse stage 2, output-pruned: j = k2*P2 + k1, keep j >= j0.
+    j0 = cfg.overlap // 2
+    k2_0 = j0 // p2
+    rem = j0 - k2_0 * p2
+    w2_r, w2_i = _stage2_matrix(q2, p2, k2_0)
+    dr = (
+        jnp.einsum("...kq,qm->...km", cr, w2_r, precision=_fft._PRECISION)
+        - jnp.einsum("...kq,qm->...km", ci, w2_i, precision=_fft._PRECISION)
+    )
+    di = (
+        jnp.einsum("...kq,qm->...km", cr, w2_i, precision=_fft._PRECISION)
+        + jnp.einsum("...kq,qm->...km", ci, w2_r, precision=_fft._PRECISION)
+    )
+    # Natural z-domain order over the kept rows, then even/odd interleave:
+    # out[2j] = Re z[j], out[2j+1] = Im z[j].
+    tr = jnp.swapaxes(dr, -1, -2).reshape(frames.shape[:-1] + (-1,))
+    ti = jnp.swapaxes(di, -1, -2).reshape(frames.shape[:-1] + (-1,))
+    out = jnp.stack([tr, ti], axis=-1).reshape(frames.shape[:-1] + (-1,))
+    return out[..., 2 * rem : 2 * rem + cfg.block_size]
+
+
 def upsample_frames(
     frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
 ) -> jnp.ndarray:
@@ -247,6 +360,12 @@ def upsample_frames(
     first taps-1 samples are discarded (overlap-save). All transforms are
     the in-house matmul FFT (totton_tpu.ops.fft) in real-pair form.
 
+    For ratio >= 2 with a two-stage inverse (all production geometries)
+    the tile-absorbed variant is used: tiling, filter multiply, and the
+    inverse's first DFT stage collapse into one precomputed [P2, r_m, Q2]
+    weight tensor, and the pruned stage 2 never computes the discarded
+    overlap region (_upsample_frames_absorbed).
+
     Falls back to the classic rfft/extension/irfft pipeline when the
     overlap is odd (taps even — the z-domain slice needs overlap % 2 == 0).
     """
@@ -254,6 +373,8 @@ def upsample_frames(
     h = cfg.fft_size // 2
     if cfg.overlap % 2 != 0:
         return _upsample_frames_classic(frames, spectrum, cfg)
+    if _absorbed_eligible(cfg):
+        return _upsample_frames_absorbed(frames, spectrum, cfg)
 
     (g1r, g1i), (g2r, g2i) = _fold_g(spectrum, cfg.fft_size)
     xr, xi = _fft.fft2_real(frames.astype(jnp.float32), m)
