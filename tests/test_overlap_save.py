@@ -171,3 +171,53 @@ class TestStreaming:
             y2.append(np.asarray(y))
         ref = oracle_upsample(x[0], h, 2)
         assert rel_err(np.concatenate(y2, -1)[0], ref) < 1e-5
+
+
+class TestAbsorbedInverse:
+    """The tile-absorbed inverse (the batched-throughput hot path) vs the
+    folded pipeline and the direct-convolution oracle.
+
+    Small dispatches fall below _ABSORBED_MIN_FRAMES and production tap
+    counts are slow on CPU, so this drives _upsample_frames_absorbed
+    directly on a reduced two-stage geometry."""
+
+    @pytest.mark.parametrize("taps,fft,ratio", [
+        (1025, 8192, 4),
+        (2001, 16384, 8),
+        (4097, 16384, 16),
+    ])
+    def test_matches_oracle_and_folded(self, rng, taps, fft, ratio):
+        from totton_tpu.ops import fft as _fft
+        from totton_tpu.ops.overlap_save import (
+            _absorbed_eligible,
+            _upsample_frames_absorbed,
+        )
+
+        cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
+                                block_size=fft - (taps - 1), ratio=ratio)
+        assert _absorbed_eligible(cfg, n_frames=64), (
+            "geometry must exercise the absorbed path"
+        )
+        h = rng.normal(size=taps) * np.exp(-np.arange(taps) * 4.0 / taps)
+        spectrum = filter_spectrum(h, fft)
+        blocks = 3
+        x = rng.normal(size=(2, 5 * cfg.block_in)).astype(np.float32)
+        xin = np.concatenate(
+            [np.zeros((2, cfg.halo_in), np.float32), x], axis=-1
+        )
+        frames = frame_input(jnp.asarray(xin), cfg.block_in, cfg.halo_in)
+        y = np.asarray(_upsample_frames_absorbed(frames, spectrum, cfg))
+        y = y.reshape(2, -1)
+        ref = np.stack([oracle_upsample(x[c], h, ratio) for c in range(2)])
+        assert rel_err(y, ref[:, : y.shape[-1]]) < 1e-4
+
+    def test_gate_respects_batch_and_ratio(self):
+        from totton_tpu.ops.overlap_save import _absorbed_eligible
+
+        prod = OverlapSaveConfig(taps=80001, fft_size=131072,
+                                 block_size=51072, ratio=16)
+        assert _absorbed_eligible(prod, n_frames=32)
+        assert not _absorbed_eligible(prod, n_frames=8)  # small dispatch
+        two_x = OverlapSaveConfig(taps=80001, fft_size=131072,
+                                  block_size=51072, ratio=2)
+        assert not _absorbed_eligible(two_x, n_frames=256)  # trivial tile

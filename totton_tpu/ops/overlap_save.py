@@ -232,11 +232,21 @@ def _fold_g(spectrum, fft_size: int):
     return g1, g2
 
 
-def _absorbed_eligible(cfg: OverlapSaveConfig) -> bool:
+#: Minimum frames per dispatch for the absorbed path. Measured on the real
+#: chip (PERF.md): below this the GW precompute and the small-K stage-1
+#: matmuls don't amortize and the folded pipeline wins.
+_ABSORBED_MIN_FRAMES = 32
+
+
+def _absorbed_eligible(cfg: OverlapSaveConfig, n_frames: int) -> bool:
     """The tile-absorbed inverse applies when the half-size inverse is a
-    two-stage factorization and the frame splits evenly into its lane
-    factor (always true for the production geometries)."""
-    if cfg.overlap % 2 != 0 or cfg.ratio < 2:
+    two-stage factorization, the frame splits evenly into its lane factor
+    (always true for the production geometries), the ratio is >= 4 (at 2x
+    the tile is trivial, so absorbing only inflates GW to h*r_m weights),
+    and the dispatch is batched enough to amortize the GW precompute."""
+    if cfg.overlap % 2 != 0 or cfg.ratio < 4:
+        return False
+    if n_frames < _ABSORBED_MIN_FRAMES:
         return False
     m = cfg.frame_in
     h = cfg.fft_size // 2
@@ -360,8 +370,9 @@ def upsample_frames(
     first taps-1 samples are discarded (overlap-save). All transforms are
     the in-house matmul FFT (totton_tpu.ops.fft) in real-pair form.
 
-    For ratio >= 2 with a two-stage inverse (all production geometries)
-    the tile-absorbed variant is used: tiling, filter multiply, and the
+    For ratio >= 4 with a two-stage inverse and a batched dispatch
+    (_ABSORBED_MIN_FRAMES+ frames — production throughput shapes) the
+    tile-absorbed variant is used: tiling, filter multiply, and the
     inverse's first DFT stage collapse into one precomputed [P2, r_m, Q2]
     weight tensor, and the pruned stage 2 never computes the discarded
     overlap region (_upsample_frames_absorbed).
@@ -373,7 +384,8 @@ def upsample_frames(
     h = cfg.fft_size // 2
     if cfg.overlap % 2 != 0:
         return _upsample_frames_classic(frames, spectrum, cfg)
-    if _absorbed_eligible(cfg):
+    n_frames = math.prod(frames.shape[:-1])
+    if _absorbed_eligible(cfg, n_frames):
         return _upsample_frames_absorbed(frames, spectrum, cfg)
 
     (g1r, g1i), (g2r, g2i) = _fold_g(spectrum, cfg.fft_size)
