@@ -84,7 +84,7 @@ def bench_stereo_2x(quick: bool) -> dict:
     cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
                             block_size=fft - (taps - 1), ratio=2)
     spec = filter_spectrum(_taps(taps, 2), fft)
-    blocks = 8
+    blocks = 16  # the shipped StreamSession dispatch granule (max_batch_blocks)
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)
@@ -117,7 +117,7 @@ def bench_4x_eq(quick: bool) -> dict:
     )
     eq = profile_response_for_fft(profile, fft, 768000.0)
     spec = filter_spectrum(_taps(taps, 4), fft, eq_response=eq)
-    blocks = 8
+    blocks = 16  # the shipped StreamSession dispatch granule (max_batch_blocks)
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)

@@ -287,6 +287,47 @@ def _stage2_matrix(q2: int, p2: int, k2_0: int):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+def _pruned_half_inverse(zr, zi, h: int, j0: int):
+    """Unnormalized inverse complex FFT of length h computing only the
+    output tail j >= (j0 // P2) * P2 when h is a two-stage factorization:
+    the output index is j = k2*P2 + k1, so discarding j < j0 prunes whole
+    stage-2 matmul columns (the overlap-save discard region is never
+    computed). Returns (tr, ti, rem) with rem = j0 - (j0 // P2) * P2
+    leading samples for the caller to trim.
+
+    Falls back to the full transform + slice for single-stage sizes."""
+    factors = _fft._factorize(h)
+    if len(factors) != 2:
+        tr, ti = _fft._fft_rec(zr, zi, factors, inverse=True)
+        return tr[..., j0:], ti[..., j0:], 0
+    p2, q2 = factors
+    wr, wi = _fft._dft_matrix(p2, True)
+    ar = zr.reshape(zr.shape[:-1] + (p2, q2))
+    ai = zi.reshape(zi.shape[:-1] + (p2, q2))
+    brr = jnp.einsum("...pq,pk->...kq", ar, wr, precision=_fft._PRECISION)
+    bii = jnp.einsum("...pq,pk->...kq", ai, wi, precision=_fft._PRECISION)
+    bri = jnp.einsum("...pq,pk->...kq", ar, wi, precision=_fft._PRECISION)
+    bir = jnp.einsum("...pq,pk->...kq", ai, wr, precision=_fft._PRECISION)
+    br, bi = brr - bii, bri + bir
+    tw_r, tw_i = _fft._twiddle(p2, q2, True)
+    cr, ci = _fft.complex_mul(br, bi, tw_r, tw_i)
+    k2_0 = j0 // p2
+    rem = j0 - k2_0 * p2
+    w2_r, w2_i = _stage2_matrix(q2, p2, k2_0)
+    dr = (
+        jnp.einsum("...kq,qm->...km", cr, w2_r, precision=_fft._PRECISION)
+        - jnp.einsum("...kq,qm->...km", ci, w2_i, precision=_fft._PRECISION)
+    )
+    di = (
+        jnp.einsum("...kq,qm->...km", cr, w2_i, precision=_fft._PRECISION)
+        + jnp.einsum("...kq,qm->...km", ci, w2_r, precision=_fft._PRECISION)
+    )
+    lead = zr.shape[:-1]
+    tr = jnp.swapaxes(dr, -1, -2).reshape(lead + (-1,))
+    ti = jnp.swapaxes(di, -1, -2).reshape(lead + (-1,))
+    return tr, ti, rem
+
+
 def _upsample_frames_absorbed(
     frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
 ) -> jnp.ndarray:
@@ -404,12 +445,13 @@ def upsample_frames(
         e2r, e2i = xr[..., h:], xi[..., h:]
     zr = er * g1r - ei * g1i + e2r * g2r - e2i * g2i
     zi = er * g1i + ei * g1r + e2r * g2i + e2i * g2r
-    # Unnormalized inverse: 1/h is folded into G above.
-    tr, ti = _fft._fft_rec(zr, zi, _fft._factorize(h), inverse=True)
+    # Unnormalized pruned inverse: 1/h is folded into G above, and the
+    # discarded overlap region never leaves the stage-2 matmul.
     # out[2j] = Re z[j], out[2j+1] = Im z[j]; keep j >= overlap/2.
     j0 = cfg.overlap // 2
-    out = jnp.stack([tr[..., j0:], ti[..., j0:]], axis=-1)
-    return out.reshape(frames.shape[:-1] + (cfg.block_size,))
+    tr, ti, rem = _pruned_half_inverse(zr, zi, h, j0)
+    out = jnp.stack([tr, ti], axis=-1).reshape(frames.shape[:-1] + (-1,))
+    return out[..., 2 * rem : 2 * rem + cfg.block_size]
 
 
 def _upsample_frames_classic(
