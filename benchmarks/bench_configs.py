@@ -167,7 +167,7 @@ def bench_8ch_sharded(quick: bool) -> dict:
     mesh = make_mesh(n_channel=n_channel, n_time=1,
                      devices=jax.devices()[:n_channel])
     ups = ShardedUpsampler(lf, mesh, channels=8)
-    per_step = ups.step_input_frames * 4
+    per_step = ups.step_input_frames * 8
     while per_step < ups.config.halo_in:
         per_step *= 2
     rng = np.random.default_rng(0)
