@@ -23,6 +23,7 @@ import time
 import numpy as np
 
 import totton_tpu  # noqa: F401  (applies TOTTON_PLATFORM before JAX init)
+from totton_tpu.io.stream import OFFLINE_BATCH_BLOCKS
 
 K_CHAIN = 10
 
@@ -84,7 +85,7 @@ def bench_stereo_2x(quick: bool) -> dict:
     cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
                             block_size=fft - (taps - 1), ratio=2)
     spec = filter_spectrum(_taps(taps, 2), fft)
-    blocks = 16  # the shipped StreamSession dispatch granule (max_batch_blocks)
+    blocks = OFFLINE_BATCH_BLOCKS  # the shipped offline dispatch granule
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)
@@ -117,7 +118,7 @@ def bench_4x_eq(quick: bool) -> dict:
     )
     eq = profile_response_for_fft(profile, fft, 768000.0)
     spec = filter_spectrum(_taps(taps, 4), fft, eq_response=eq)
-    blocks = 16  # the shipped StreamSession dispatch granule (max_batch_blocks)
+    blocks = OFFLINE_BATCH_BLOCKS  # the shipped offline dispatch granule
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)
@@ -167,7 +168,7 @@ def bench_8ch_sharded(quick: bool) -> dict:
     mesh = make_mesh(n_channel=n_channel, n_time=1,
                      devices=jax.devices()[:n_channel])
     ups = ShardedUpsampler(lf, mesh, channels=8)
-    per_step = ups.step_input_frames * 8
+    per_step = ups.step_input_frames * OFFLINE_BATCH_BLOCKS
     while per_step < ups.config.halo_in:
         per_step *= 2
     rng = np.random.default_rng(0)

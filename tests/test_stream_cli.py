@@ -125,3 +125,74 @@ def test_cli_bad_filter(tmp_path):
     )
     assert proc.returncode == 1
     assert "not found" in proc.stderr
+
+
+class TestDispatchBatching:
+    """Auto dispatch-granule selection (PERF.md: deep offline batches fill
+    the MXU; realtime dispatches block-at-a-time for latency)."""
+
+    def test_offline_source_gets_deep_batches(self, coefficients_dir):
+        from totton_tpu.io.stream import OFFLINE_BATCH_BLOCKS
+
+        lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        session = StreamSession(
+            NullSourceFrames(4), NullSink(), StreamingUpsampler(lf, channels=2)
+        )
+        assert session.max_batch_blocks == OFFLINE_BATCH_BLOCKS
+        assert session._dispatch_threshold == OFFLINE_BATCH_BLOCKS
+
+    def test_realtime_source_dispatches_immediately(self, coefficients_dir):
+        from totton_tpu.io.stream import REALTIME_BATCH_BLOCKS
+
+        lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        src = NullSourceFrames(4)
+        src.realtime = True
+        session = StreamSession(
+            src, NullSink(), StreamingUpsampler(lf, channels=2)
+        )
+        assert session.max_batch_blocks == REALTIME_BATCH_BLOCKS
+        assert session._dispatch_threshold == 1
+
+    def test_accumulated_dispatch_output_identical(self, coefficients_dir,
+                                                   rng, tmp_path):
+        """Deep-batch accumulation changes dispatch shape, not output
+        (within float32 rounding: different batch shapes compile to
+        different-but-equivalent reduction orders)."""
+        lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        n = 6 * 25536 + 123  # several whole blocks + a partial tail
+        x = (rng.normal(size=(2, n)) * 0.3).astype(np.float32)
+        wav_in = str(tmp_path / "in.wav")
+        write_wav(wav_in, x, 352800)
+
+        outs = []
+        for batch in (1, 4, None):  # None = auto (deep)
+            sink = WavFileSink(str(tmp_path / f"out_{batch}.wav"), 705600)
+            stats = StreamSession(
+                WavFileSource(wav_in), sink,
+                StreamingUpsampler(lf, channels=2),
+                max_batch_blocks=batch,
+            ).run()
+            sink.close()
+            assert stats.frames_out == n * 2
+            y, _ = read_wav(str(tmp_path / f"out_{batch}.wav"))
+            outs.append(y)
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+        np.testing.assert_allclose(outs[0], outs[2], atol=1e-6)
+
+
+class NullSourceFrames:
+    """Tiny source stub: k frames of silence, stereo."""
+
+    channels = 2
+    sample_rate = 352800
+
+    def __init__(self, frames: int) -> None:
+        self._left = frames
+
+    def read_frames(self, n):
+        take = min(n, self._left)
+        self._left -= take
+        return np.zeros((2, take), dtype=np.float32)
+
+    def close(self):
+        pass

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crossfeed",
                    help="crossfeed filter JSON (4-channel LL/LR/RL/RR set) "
                         "applied after upsampling")
+    p.add_argument("--batch-blocks", type=int, default=None,
+                   help="filter blocks per device dispatch (default auto: "
+                        "deep batches for file sources, small for realtime)")
     p.add_argument("--stats-path", help="write live stats JSON here")
     p.add_argument("--duration", type=float,
                    help="stop after this many seconds of input")
@@ -177,6 +180,7 @@ def main(argv: list[str] | None = None) -> int:
     session = session_cls(
         source, sink, engine,
         period_frames=args.period,
+        max_batch_blocks=args.batch_blocks,
         stats_path=args.stats_path,
     )
 

@@ -70,12 +70,32 @@ class StreamStats:
         }
 
 
+#: Dispatch granules (blocks per device dispatch) when the caller doesn't
+#: pick one. Offline (file/pipe) sources accumulate DEEP dispatches —
+#: measured on the real chip (PERF.md geometry/dispatch sweep): 64+-block
+#: batches run the 2x/4x geometries ~2.6-3.6x faster than 16-block ones,
+#: because the per-frame matmuls only fill the MXU when batched. Realtime
+#: sources dispatch as soon as one block is ready to bound latency.
+OFFLINE_BATCH_BLOCKS = 64
+REALTIME_BATCH_BLOCKS = 16
+
+
+def _auto_batch_blocks(source: AudioSource, realtime_default: int) -> int:
+    if getattr(source, "realtime", False):
+        return realtime_default
+    return OFFLINE_BATCH_BLOCKS
+
+
 class StreamSession:
     """Drives source -> engine -> sink until EOF or stop().
 
     ``period_frames`` is clamped to the filter's input block size (reference:
     alsa_streamer_main.cpp:404-418). ``max_batch_blocks`` bounds how many
-    blocks go to the device in one dispatch (latency/throughput knob).
+    blocks go to the device in one dispatch (latency/throughput knob);
+    ``None`` selects automatically: deep batches for offline sources
+    (OFFLINE_BATCH_BLOCKS), block-at-a-time for realtime ones. Offline
+    sources also *accumulate* a full batch before dispatching (EOF flushes
+    the remainder); realtime sources dispatch whatever is ready.
     """
 
     def __init__(
@@ -85,7 +105,7 @@ class StreamSession:
         engine: StreamingUpsampler,
         period_frames: int = 4096,
         buffer_blocks: int = 8,
-        max_batch_blocks: int = 16,
+        max_batch_blocks: int | None = None,
         stats_path: str | None = None,
     ) -> None:
         self.source = source
@@ -94,8 +114,14 @@ class StreamSession:
         block_in = engine.block_input_frames
         self.period_frames = max(1, min(period_frames, block_in))
         self.channels = engine.channels
+        realtime = bool(getattr(source, "realtime", False))
+        if max_batch_blocks is None:
+            max_batch_blocks = _auto_batch_blocks(source,
+                                                  REALTIME_BATCH_BLOCKS)
         self.max_batch_blocks = max(1, max_batch_blocks)
-        capacity = max(block_in, self.period_frames) * max(3, buffer_blocks)
+        self._dispatch_threshold = 1 if realtime else self.max_batch_blocks
+        capacity = max(block_in, self.period_frames) * max(
+            3, buffer_blocks, self.max_batch_blocks + 2)
         self._in_ring = make_ring_buffer(capacity * self.channels)
         self.stats = StreamStats(
             input_rate=source.sample_rate or 0,
@@ -157,12 +183,15 @@ class StreamSession:
                     self._in_ring.clear()
                     self._in_ring.write(chunk.T.ravel())
 
-            # Dispatch as many whole blocks as are queued (bounded).
+            # Dispatch whole blocks once a full batch has accumulated
+            # (offline) or as soon as any block is ready (realtime); EOF
+            # flushes whatever whole blocks remain.
             while True:
                 avail = self._in_ring.available_to_read() // self.channels
-                nblocks = min(avail // block_in, self.max_batch_blocks)
-                if nblocks == 0:
+                ready = avail // block_in
+                if ready == 0 or (not eof and ready < self._dispatch_threshold):
                     break
+                nblocks = min(ready, self.max_batch_blocks)
                 flat = self._in_ring.read(nblocks * block_in * self.channels)
                 frames = flat.reshape(-1, self.channels).T
                 self._dispatch(frames, nblocks * block_in)
@@ -202,7 +231,7 @@ class ThreadedStreamSession:
         engine: StreamingUpsampler,
         period_frames: int = 4096,
         buffer_blocks: int = 8,
-        max_batch_blocks: int = 8,
+        max_batch_blocks: int | None = None,
         stats_path: str | None = None,
     ) -> None:
         self.source = source
@@ -211,9 +240,14 @@ class ThreadedStreamSession:
         block_in = engine.block_input_frames
         self.period_frames = max(1, min(period_frames, block_in))
         self.channels = engine.channels
+        realtime = bool(getattr(source, "realtime", False))
+        if max_batch_blocks is None:
+            max_batch_blocks = _auto_batch_blocks(source, 8)
         self.max_batch_blocks = max(1, max_batch_blocks)
-        cap_in = max(block_in, self.period_frames) * max(3, buffer_blocks)
-        cap_out = engine.config.block_size * max(3, buffer_blocks)
+        self._dispatch_threshold = 1 if realtime else self.max_batch_blocks
+        depth = max(3, buffer_blocks, self.max_batch_blocks + 2)
+        cap_in = max(block_in, self.period_frames) * depth
+        cap_out = engine.config.block_size * depth
         self._in_ring = make_ring_buffer(cap_in * self.channels)
         self._out_ring = make_ring_buffer(cap_out * self.channels)
         self.stats = StreamStats(
@@ -299,8 +333,10 @@ class ThreadedStreamSession:
         try:
             while True:
                 avail = self._in_ring.available_to_read() // self.channels
-                nblocks = min(avail // block_in, self.max_batch_blocks)
-                if nblocks:
+                ready = avail // block_in
+                feed_done = self._feed_done.is_set()
+                if ready and (ready >= self._dispatch_threshold or feed_done):
+                    nblocks = min(ready, self.max_batch_blocks)
                     flat = self._in_ring.read(
                         nblocks * block_in * self.channels
                     )
@@ -308,7 +344,7 @@ class ThreadedStreamSession:
                         flat.reshape(-1, self.channels).T, nblocks * block_in
                     )
                     self._write_stats()
-                elif self._feed_done.is_set():
+                elif feed_done:
                     left = self._in_ring.available_to_read() // self.channels
                     if left:
                         flat = self._in_ring.read(left * self.channels)
