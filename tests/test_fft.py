@@ -90,3 +90,22 @@ def test_non_power_of_two_rejected():
 def test_irfft_bad_bin_count():
     with pytest.raises(ValueError, match="bins"):
         tfft.irfft2(jnp.zeros((1, 5)), jnp.zeros((1, 5)), 16)
+
+
+@pytest.mark.parametrize("n", [1024, 2048, 8192])
+def test_fft2_real_split_matches_natural_order(rng, n):
+    """The pre-transpose split layout is the natural-order FFT with
+    k = k2*P + k1 (consumed transpose-free by the absorbed overlap-save
+    stage 1)."""
+    x = rng.normal(size=(3, n)).astype(np.float32)
+    dr, di, p, q = tfft.fft2_real_split(jnp.asarray(x), n)
+    assert (p * q, dr.shape[-2:]) == (n, (p, q))
+    nat = np.swapaxes(np.asarray(dr), -1, -2).reshape(3, n) + 1j * (
+        np.swapaxes(np.asarray(di), -1, -2).reshape(3, n))
+    ref = np.fft.fft(x.astype(np.float64), n)
+    assert snr_db(nat, ref) > 120.0
+
+
+def test_fft2_real_split_rejects_single_stage():
+    with pytest.raises(ValueError, match="two-stage"):
+        tfft.fft2_real_split(jnp.zeros((1, 256)), 256)

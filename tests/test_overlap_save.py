@@ -221,3 +221,18 @@ class TestAbsorbedInverse:
         two_x = OverlapSaveConfig(taps=80001, fft_size=131072,
                                   block_size=51072, ratio=2)
         assert not _absorbed_eligible(two_x, n_frames=256)  # trivial tile
+
+
+def test_production_geometries_use_split_forward():
+    """All production ratios >= 4 satisfy the split-layout condition
+    (two-stage forward with P | Q2), so the absorbed path never pays the
+    forward inter-stage transpose."""
+    from totton_tpu.ops import fft as _fft
+
+    for ratio in (4, 8, 16):
+        cfg = OverlapSaveConfig(taps=80001, fft_size=131072,
+                                block_size=51072, ratio=ratio)
+        m_factors = _fft._factorize(cfg.frame_in)
+        _, q2 = _fft._factorize(cfg.fft_size // 2)
+        assert len(m_factors) == 2
+        assert q2 % m_factors[0] == 0

@@ -72,11 +72,13 @@ class StreamStats:
 
 #: Dispatch granules (blocks per device dispatch) when the caller doesn't
 #: pick one. Offline (file/pipe) sources accumulate DEEP dispatches —
-#: measured on the real chip (PERF.md geometry/dispatch sweep): 64+-block
+#: measured on the real chip (PERF.md geometry/dispatch sweep): 64-block
 #: batches run the 2x/4x geometries ~2.6-3.6x faster than 16-block ones,
-#: because the per-frame matmuls only fill the MXU when batched. Realtime
-#: sources dispatch as soon as one block is ready to bound latency.
-OFFLINE_BATCH_BLOCKS = 64
+#: and 128 runs 16x another ~40% faster than 64 (its frames are ratio-x
+#: smaller, so the MXU only fills at deeper batch) — the per-frame matmuls
+#: need batch to fill the systolic array. Realtime sources dispatch as
+#: soon as one block is ready to bound latency.
+OFFLINE_BATCH_BLOCKS = 128
 REALTIME_BATCH_BLOCKS = 16
 
 

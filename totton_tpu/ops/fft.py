@@ -132,6 +132,34 @@ def fft2_real(x, n: int | None = None):
     return _fft_rec_real(x, _factorize(n))
 
 
+def fft2_real_split(x, n: int):
+    """Forward FFT of a real input for two-stage sizes, returned in the
+    PRE-TRANSPOSE split layout: (re, im) of shape [..., P, Q] where the
+    natural-order bin is X[k2*P + k1] = out[..., k1, k2].
+
+    Callers that can consume the split layout (e.g. the tile-absorbed
+    overlap-save inverse, which re-indexes its weight tensor on host
+    instead) skip the inter-stage transpose — one full HBM pass of the
+    spectrum per frame. Returns (re, im, P, Q); raises for sizes that
+    don't factorize into exactly two stages.
+    """
+    factors = _factorize(n)
+    if len(factors) != 2:
+        raise ValueError(f"fft2_real_split needs a two-stage size, got {n} "
+                         f"-> {factors}")
+    p, q = factors
+    x = _pad_last(x.astype(jnp.float32), n)
+    a = x.reshape(x.shape[:-1] + (p, q))
+    wr, wi = _dft_matrix(p, False)
+    br = jnp.einsum("...pq,pk->...kq", a, wr, precision=_PRECISION)
+    bi = jnp.einsum("...pq,pk->...kq", a, wi, precision=_PRECISION)
+    tr, ti = _twiddle(p, q, False)
+    cr, ci = complex_mul(br, bi, tr, ti)
+    w2r, w2i = _dft_matrix(q, False)
+    dr, di = _cmatmul(cr, ci, w2r, w2i)  # [..., k1, k2]
+    return dr, di, p, q
+
+
 def _fft_rec(xr, xi, factors, inverse):
     """Unnormalized complex FFT along the last axis; len = prod(factors)."""
     n = xr.shape[-1]

@@ -314,17 +314,19 @@ def _pruned_half_inverse(zr, zi, h: int, j0: int):
     k2_0 = j0 // p2
     rem = j0 - k2_0 * p2
     w2_r, w2_i = _stage2_matrix(q2, p2, k2_0)
+    # Emit [..., k2', k1] directly so natural order j = k2*P2 + k1 is a
+    # pure reshape (no materialized swapaxes pass).
     dr = (
-        jnp.einsum("...kq,qm->...km", cr, w2_r, precision=_fft._PRECISION)
-        - jnp.einsum("...kq,qm->...km", ci, w2_i, precision=_fft._PRECISION)
+        jnp.einsum("...kq,qm->...mk", cr, w2_r, precision=_fft._PRECISION)
+        - jnp.einsum("...kq,qm->...mk", ci, w2_i, precision=_fft._PRECISION)
     )
     di = (
-        jnp.einsum("...kq,qm->...km", cr, w2_i, precision=_fft._PRECISION)
-        + jnp.einsum("...kq,qm->...km", ci, w2_r, precision=_fft._PRECISION)
+        jnp.einsum("...kq,qm->...mk", cr, w2_i, precision=_fft._PRECISION)
+        + jnp.einsum("...kq,qm->...mk", ci, w2_r, precision=_fft._PRECISION)
     )
     lead = zr.shape[:-1]
-    tr = jnp.swapaxes(dr, -1, -2).reshape(lead + (-1,))
-    ti = jnp.swapaxes(di, -1, -2).reshape(lead + (-1,))
+    tr = dr.reshape(lead + (-1,))
+    ti = di.reshape(lead + (-1,))
     return tr, ti, rem
 
 
@@ -360,38 +362,76 @@ def _upsample_frames_absorbed(
     gw_r = gw0_r * wh_r[:, None, :] - gw0_i * wh_i[:, None, :]
     gw_i = gw0_r * wh_i[:, None, :] + gw0_i * wh_r[:, None, :]
 
-    # Forward: full m-point DFT of the real frame, natural order.
-    xr, xi = _fft.fft2_real(frames.astype(jnp.float32), m)
-    xn_r = xr.reshape(xr.shape[:-1] + (r_m, q2))
-    xn_i = xi.reshape(xi.shape[:-1] + (r_m, q2))
-
-    # Inverse stage 1 with tile/filter/twiddle absorbed (contract s = r_m).
-    cr = (
-        jnp.einsum("...sq,ksq->...kq", xn_r, gw_r, precision=_fft._PRECISION)
-        - jnp.einsum("...sq,ksq->...kq", xn_i, gw_i, precision=_fft._PRECISION)
-    )
-    ci = (
-        jnp.einsum("...sq,ksq->...kq", xn_r, gw_i, precision=_fft._PRECISION)
-        + jnp.einsum("...sq,ksq->...kq", xn_i, gw_r, precision=_fft._PRECISION)
-    )
+    # Forward transform + inverse stage 1 with tile/filter/twiddle absorbed
+    # (contract s = r_m). When the forward is two-stage with P | Q2, the
+    # stage-1 contraction consumes the forward's PRE-TRANSPOSE split layout
+    # directly: natural bin k = k2*P + k1 decomposes as s = k2 // w,
+    # q = (k2 % w)*P + k1 with w = Q2/P, so re-indexing GW on the q axis
+    # (a pure reshape of a traced tensor) replaces the forward's
+    # inter-stage transpose — one fewer full HBM pass per frame.
+    m_factors = _fft._factorize(m)
+    split_ok = len(m_factors) == 2 and q2 % m_factors[0] == 0
+    if split_ok:
+        dr, di, p_f, _ = _fft.fft2_real_split(frames.astype(jnp.float32), m)
+        w = q2 // p_f
+        lead = dr.shape[:-2]
+        # [..., f(P), k2(Q_f)] -> [..., f, s(r_m), b(w)]; k2 = s*w + b.
+        xn_r = dr.reshape(lead + (p_f, r_m, w))
+        xn_i = di.reshape(lead + (p_f, r_m, w))
+        # GW q axis (Q2) -> (b, f): q = b*P + f.
+        gws_r = gw_r.reshape(p2, r_m, w, p_f)
+        gws_i = gw_i.reshape(p2, r_m, w, p_f)
+        cr = (
+            jnp.einsum("...fsb,ksbf->...kbf", xn_r, gws_r,
+                       precision=_fft._PRECISION)
+            - jnp.einsum("...fsb,ksbf->...kbf", xn_i, gws_i,
+                         precision=_fft._PRECISION)
+        )
+        ci = (
+            jnp.einsum("...fsb,ksbf->...kbf", xn_r, gws_i,
+                       precision=_fft._PRECISION)
+            + jnp.einsum("...fsb,ksbf->...kbf", xn_i, gws_r,
+                         precision=_fft._PRECISION)
+        )
+        # [..., k1, b, f] -> [..., k1, q]: q = b*P + f (pure reshape).
+        cr = cr.reshape(lead + (p2, q2))
+        ci = ci.reshape(lead + (p2, q2))
+    else:
+        xr, xi = _fft.fft2_real(frames.astype(jnp.float32), m)
+        xn_r = xr.reshape(xr.shape[:-1] + (r_m, q2))
+        xn_i = xi.reshape(xi.shape[:-1] + (r_m, q2))
+        cr = (
+            jnp.einsum("...sq,ksq->...kq", xn_r, gw_r,
+                       precision=_fft._PRECISION)
+            - jnp.einsum("...sq,ksq->...kq", xn_i, gw_i,
+                         precision=_fft._PRECISION)
+        )
+        ci = (
+            jnp.einsum("...sq,ksq->...kq", xn_r, gw_i,
+                       precision=_fft._PRECISION)
+            + jnp.einsum("...sq,ksq->...kq", xn_i, gw_r,
+                         precision=_fft._PRECISION)
+        )
 
     # Inverse stage 2, output-pruned: j = k2*P2 + k1, keep j >= j0.
     j0 = cfg.overlap // 2
     k2_0 = j0 // p2
     rem = j0 - k2_0 * p2
     w2_r, w2_i = _stage2_matrix(q2, p2, k2_0)
+    # Stage 2 emits [..., k2', k1] directly (einsum output order) — the
+    # z-domain natural order j = k2*P2 + k1 is then a pure reshape, no
+    # materialized swapaxes pass.
     dr = (
-        jnp.einsum("...kq,qm->...km", cr, w2_r, precision=_fft._PRECISION)
-        - jnp.einsum("...kq,qm->...km", ci, w2_i, precision=_fft._PRECISION)
+        jnp.einsum("...kq,qm->...mk", cr, w2_r, precision=_fft._PRECISION)
+        - jnp.einsum("...kq,qm->...mk", ci, w2_i, precision=_fft._PRECISION)
     )
     di = (
-        jnp.einsum("...kq,qm->...km", cr, w2_i, precision=_fft._PRECISION)
-        + jnp.einsum("...kq,qm->...km", ci, w2_r, precision=_fft._PRECISION)
+        jnp.einsum("...kq,qm->...mk", cr, w2_i, precision=_fft._PRECISION)
+        + jnp.einsum("...kq,qm->...mk", ci, w2_r, precision=_fft._PRECISION)
     )
-    # Natural z-domain order over the kept rows, then even/odd interleave:
-    # out[2j] = Re z[j], out[2j+1] = Im z[j].
-    tr = jnp.swapaxes(dr, -1, -2).reshape(frames.shape[:-1] + (-1,))
-    ti = jnp.swapaxes(di, -1, -2).reshape(frames.shape[:-1] + (-1,))
+    # Even/odd interleave: out[2j] = Re z[j], out[2j+1] = Im z[j].
+    tr = dr.reshape(frames.shape[:-1] + (-1,))
+    ti = di.reshape(frames.shape[:-1] + (-1,))
     out = jnp.stack([tr, ti], axis=-1).reshape(frames.shape[:-1] + (-1,))
     return out[..., 2 * rem : 2 * rem + cfg.block_size]
 
