@@ -86,7 +86,10 @@ class TestZeroStuff:
 class TestAgainstOracle:
     @pytest.mark.parametrize(
         "taps,fft,ratio",
-        [(5, 64, 1), (9, 64, 2), (17, 64, 4), (33, 128, 8), (33, 128, 16)],
+        [(5, 64, 1), (9, 64, 2), (17, 64, 4), (33, 128, 8), (33, 128, 16),
+         # m = 1024 = 32x32: exercises the split-layout folded 2x pipeline
+         # (_split_folded_ok true) rather than the classic fallback.
+         (257, 2048, 2)],
     )
     def test_matches_direct_convolution(self, rng, taps, fft, ratio):
         cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
