@@ -153,6 +153,22 @@ class TestDispatchBatching:
         assert session.max_batch_blocks == REALTIME_BATCH_BLOCKS
         assert session._dispatch_threshold == 1
 
+    def test_stdin_pipe_is_low_latency(self, coefficients_dir):
+        """`arecord | totton-stream -` must not sit behind a deep batch:
+        stdin sources dispatch block-at-a-time (but never drop)."""
+        from totton_tpu.io.devices import RawFileSource
+        from totton_tpu.io.formats import PcmFormat
+        from totton_tpu.io.stream import REALTIME_BATCH_BLOCKS
+
+        src = RawFileSource("-", PcmFormat.S32_LE, 2, 352800)
+        assert src.low_latency and not getattr(src, "realtime", False)
+        lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        session = StreamSession(
+            src, NullSink(), StreamingUpsampler(lf, channels=2)
+        )
+        assert session.max_batch_blocks == REALTIME_BATCH_BLOCKS
+        assert session._dispatch_threshold == 1
+
     def test_accumulated_dispatch_output_identical(self, coefficients_dir,
                                                    rng, tmp_path):
         """Deep-batch accumulation changes dispatch shape, not output

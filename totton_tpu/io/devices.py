@@ -110,6 +110,10 @@ class RawFileSource(AudioSource):
         self._fmt = fmt
         self.channels = channels
         self.sample_rate = sample_rate
+        # stdin is typically a live pipe (`arecord | totton-stream -`):
+        # dispatch block-at-a-time instead of accumulating a deep batch.
+        # Unlike realtime capture it still backpressures, never drops.
+        self.low_latency = path == "-"
 
     def read_frames(self, n: int) -> np.ndarray:
         raw = self._f.read(n * self.channels * self._fmt.bytes)

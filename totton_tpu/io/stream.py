@@ -82,8 +82,17 @@ OFFLINE_BATCH_BLOCKS = 128
 REALTIME_BATCH_BLOCKS = 16
 
 
+def _is_low_latency(source: AudioSource) -> bool:
+    """True for sources that must not sit behind a deep dispatch batch:
+    realtime capture (which additionally drops on overflow) and live
+    pipes like stdin (backpressure-safe, but seconds of accumulation
+    latency would be unacceptable for `arecord | totton-stream -`)."""
+    return bool(getattr(source, "realtime", False)
+                or getattr(source, "low_latency", False))
+
+
 def _auto_batch_blocks(source: AudioSource, realtime_default: int) -> int:
-    if getattr(source, "realtime", False):
+    if _is_low_latency(source):
         return realtime_default
     return OFFLINE_BATCH_BLOCKS
 
@@ -116,12 +125,12 @@ class StreamSession:
         block_in = engine.block_input_frames
         self.period_frames = max(1, min(period_frames, block_in))
         self.channels = engine.channels
-        realtime = bool(getattr(source, "realtime", False))
+        low_latency = _is_low_latency(source)
         if max_batch_blocks is None:
             max_batch_blocks = _auto_batch_blocks(source,
                                                   REALTIME_BATCH_BLOCKS)
         self.max_batch_blocks = max(1, max_batch_blocks)
-        self._dispatch_threshold = 1 if realtime else self.max_batch_blocks
+        self._dispatch_threshold = 1 if low_latency else self.max_batch_blocks
         capacity = max(block_in, self.period_frames) * max(
             3, buffer_blocks, self.max_batch_blocks + 2)
         self._in_ring = make_ring_buffer(capacity * self.channels)
@@ -242,11 +251,11 @@ class ThreadedStreamSession:
         block_in = engine.block_input_frames
         self.period_frames = max(1, min(period_frames, block_in))
         self.channels = engine.channels
-        realtime = bool(getattr(source, "realtime", False))
+        low_latency = _is_low_latency(source)
         if max_batch_blocks is None:
             max_batch_blocks = _auto_batch_blocks(source, 8)
         self.max_batch_blocks = max(1, max_batch_blocks)
-        self._dispatch_threshold = 1 if realtime else self.max_batch_blocks
+        self._dispatch_threshold = 1 if low_latency else self.max_batch_blocks
         depth = max(3, buffer_blocks, self.max_batch_blocks + 2)
         cap_in = max(block_in, self.period_frames) * depth
         cap_out = engine.config.block_size * depth
