@@ -142,7 +142,7 @@ def bench_16x(quick: bool) -> dict:
     cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
                             block_size=fft - (taps - 1), ratio=16)
     spec = filter_spectrum(_taps(taps, 16), fft)
-    blocks = 16 if quick else 64
+    blocks = 16 if quick else OFFLINE_BATCH_BLOCKS
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)

@@ -1,15 +1,20 @@
-"""Internal-geometry sweep: throughput vs fft_size per upsample ratio.
+"""Geometry/dispatch-depth sweep: throughput vs fft_size and batch size.
 
-The sidecar geometry (fft 131072, block 51072) spends 61% of every frame
-recomputing the 80000-sample overlap. Overlap-save output is independent of
-the blocking, so the runtime is free to pick a larger internal fft_size
-(block = fft - (taps-1)) to amortize the overlap — this sweep measures what
-that buys per ratio on the real chip.
+Two levers, measured on the real chip:
+- internal fft_size (block = fft - (taps-1)): amortizes the 80000-sample
+  overlap recompute. Finding: nearly flat (+-8%) — the kernel is not
+  geometry-bound.
+- dispatch depth (blocks per device dispatch): the dominant lever. The
+  per-frame matmuls only fill the MXU (and amortize the absorbed weight
+  tensor) when batched; throughput keeps climbing past 512 blocks.
+  This set OFFLINE_BATCH_BLOCKS (totton_tpu/io/stream.py); see PERF.md.
 
 Methodology: chained iterations inside one jit (lazy-execution-safe, same
-as bench.py); equal *output* samples per timed region across geometries.
+as bench.py); equal *output* samples per timed region across geometries
+unless --blocks pins the dispatch depth.
 
 Usage: python benchmarks/bench_geometry.py [--ratios 2,4,8,16]
+           [--ffts 131072,...] [--blocks 128,512]
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ import totton_tpu  # noqa: F401,E402
 
 def measure(ratio: int, fft_size: int, taps: int = 80001,
             channels: int = 2, out_target: int = 13_000_000,
-            k_chain: int = 8) -> float:
+            k_chain: int = 8, blocks: int | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +46,8 @@ def measure(ratio: int, fft_size: int, taps: int = 80001,
     block = fft_size - (taps - 1)
     cfg = OverlapSaveConfig(taps=taps, fft_size=fft_size, block_size=block,
                             ratio=ratio)
-    blocks = max(1, round(out_target / (channels * block)))
+    if blocks is None:
+        blocks = max(1, round(out_target / (channels * block)))
     n = np.arange(taps) - (taps - 1) / 2
     h = np.sinc(n / ratio) * np.kaiser(taps, 25.0)
     h *= ratio * 0.99 / h.sum()
@@ -74,24 +80,32 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ratios", default="2,4,8,16")
     ap.add_argument("--ffts", default="131072,262144,524288")
+    ap.add_argument("--blocks", default=None,
+                    help="comma list of dispatch depths (default: sized "
+                         "for ~13M output samples)")
     args = ap.parse_args()
     ratios = [int(r) for r in args.ratios.split(",")]
     ffts = [int(f) for f in args.ffts.split(",")]
+    depths = ([int(b) for b in args.blocks.split(",")] if args.blocks
+              else [None])
 
-    print(f"{'ratio':>5} {'fft':>8} {'block':>8} {'M samples/s':>12}")
+    print(f"{'ratio':>5} {'fft':>8} {'block':>8} {'blocks':>7} "
+          f"{'M samples/s':>12}")
     for ratio in ratios:
         for fft in ffts:
             block = fft - 80000
             if block % ratio or (fft // ratio) % 2:
                 continue
-            try:
-                sps = measure(ratio, fft)
-            except Exception as e:  # noqa: BLE001
-                print(f"{ratio:>5} {fft:>8} {block:>8}  FAILED: {e}",
-                      file=sys.stderr)
-                continue
-            print(f"{ratio:>5} {fft:>8} {block:>8} {sps/1e6:>12.0f}",
-                  flush=True)
+            for depth in depths:
+                try:
+                    sps = measure(ratio, fft, blocks=depth)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{ratio:>5} {fft:>8} {block:>8} "
+                          f"{depth or 'auto':>7}  FAILED: {e}",
+                          file=sys.stderr)
+                    continue
+                print(f"{ratio:>5} {fft:>8} {block:>8} {depth or 'auto':>7} "
+                      f"{sps/1e6:>12.0f}", flush=True)
     return 0
 
 

@@ -71,14 +71,15 @@ class StreamStats:
 
 
 #: Dispatch granules (blocks per device dispatch) when the caller doesn't
-#: pick one. Offline (file/pipe) sources accumulate DEEP dispatches —
-#: measured on the real chip (PERF.md geometry/dispatch sweep): 64-block
-#: batches run the 2x/4x geometries ~2.6-3.6x faster than 16-block ones,
-#: and 128 runs 16x another ~40% faster than 64 (its frames are ratio-x
-#: smaller, so the MXU only fills at deeper batch) — the per-frame matmuls
-#: need batch to fill the systolic array. Realtime sources dispatch as
-#: soon as one block is ready to bound latency.
-OFFLINE_BATCH_BLOCKS = 128
+#: pick one. Offline (file) sources accumulate DEEP dispatches — measured
+#: on the real chip (PERF.md dispatch-depth sweep), throughput keeps
+#: climbing with batch well past 100 blocks (the per-frame matmuls only
+#: fill the MXU and amortize the absorbed weight tensor when batched):
+#: 16x runs 2.5 G samples/s at 128 blocks, 3.6 G at 512; 2x 1.75 G and
+#: 4x 2.4 G at 512. 512 balances that against host-ring memory
+#: (~105 MB at 2x) and per-dispatch working set. Realtime/pipe sources
+#: dispatch as soon as one block is ready to bound latency.
+OFFLINE_BATCH_BLOCKS = 512
 REALTIME_BATCH_BLOCKS = 16
 
 
