@@ -56,3 +56,31 @@ def test_threaded_stop_terminates(coefficients_dir, tmp_path, rng):
     t.join(timeout=15)
     assert not t.is_alive()
     assert session.stats.blocks_processed > 0
+
+
+def test_realtime_overflow_drops_not_blocks(coefficients_dir):
+    """Realtime capture can't wait on a full ring: the feeder drops the
+    chunk and counts it (reference: ring overflow -> drop + log,
+    alsa_streamer_main.cpp:516-521). File sources instead backpressure."""
+    import numpy as np
+
+    from totton_tpu.engine.upsampler import StreamingUpsampler
+    from totton_tpu.filters.sidecar import load_filter
+    from totton_tpu.io.devices import NullSink, NullSource
+    from totton_tpu.io.stream import ThreadedStreamSession
+
+    lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+    src = NullSource(channels=2, sample_rate=352800, total_frames=4096)
+    src.realtime = True
+    session = ThreadedStreamSession(
+        src, NullSink(), StreamingUpsampler(lf, channels=2),
+        period_frames=4096, buffer_blocks=3,
+    )
+    # Fill the input ring to capacity so the next feeder write must fail.
+    filler = np.zeros(1024, np.float32)
+    while session._in_ring.write(filler):
+        pass
+    session._feeder(max_frames=4096)  # one chunk against a full ring
+    assert session.stats.input_overflows >= 1
+    assert session.stats.frames_in == 4096  # read happened, then dropped
+    assert session._feed_done.is_set()
