@@ -356,7 +356,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output-dir", default="data/crossfeed/hrtf")
     p.add_argument("--sofa-dir", default=None,
                    help="directory of <size>.sofa files (else synthetic)")
-    p.add_argument("--size", choices=sorted(HEAD_SIZES), default=None)
+    p.add_argument("--size", choices=sorted(HEAD_SIZES), default=None,
+                   type=lambda s: s.upper())
     p.add_argument("--family", choices=sorted(RATE_CONFIGS), default=None)
     args = p.parse_args(argv)
     paths = generate_all(
