@@ -212,3 +212,24 @@ class NullSourceFrames:
 
     def close(self):
         pass
+
+
+def test_low_latency_session_warms_up_engine(coefficients_dir):
+    """Low-latency sessions pre-compile dispatch shapes at construction
+    (a mid-stream jit compile would drop/stall live audio)."""
+    lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+    engine = StreamingUpsampler(lf, channels=2)
+    shapes = []
+    orig = engine.process_block
+    engine.process_block = lambda x: (shapes.append(x.shape), orig(x))[1]
+    src = NullSourceFrames(4)
+    src.realtime = True
+    StreamSession(src, NullSink(), engine)
+    block_in = engine.block_input_frames
+    from totton_tpu.io.stream import REALTIME_BATCH_BLOCKS
+    assert (2, block_in) in shapes
+    assert (2, REALTIME_BATCH_BLOCKS * block_in) in shapes
+    # offline sessions must NOT pay an eager compile at construction
+    shapes.clear()
+    StreamSession(NullSourceFrames(4), NullSink(), engine)
+    assert shapes == []

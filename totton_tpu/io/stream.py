@@ -98,6 +98,22 @@ def _auto_batch_blocks(source: AudioSource, realtime_default: int) -> int:
     return OFFLINE_BATCH_BLOCKS
 
 
+def _warm_up(engine: StreamingUpsampler, channels: int, block_in: int,
+             max_batch_blocks: int) -> None:
+    """Pre-compile the dispatch shapes a low-latency stream will hit.
+
+    jit compilation is minutes on a remote TPU; for realtime/pipe sources
+    a mid-stream compile means seconds of dropped or stalled audio, so
+    the single-block shape (the steady-state dispatch at threshold 1) and
+    the max-batch shape (backlog catch-up) are compiled before the first
+    sample arrives. The engine state is reset afterwards.
+    """
+    for nblocks in {1, max_batch_blocks}:
+        engine.process_block(
+            np.zeros((channels, nblocks * block_in), np.float32))
+    engine.reset()
+
+
 class StreamSession:
     """Drives source -> engine -> sink until EOF or stop().
 
@@ -141,6 +157,8 @@ class StreamSession:
         )
         self._stats_path = stats_path
         self._stop = threading.Event()
+        if low_latency:
+            _warm_up(engine, self.channels, block_in, self.max_batch_blocks)
 
     def stop(self) -> None:
         self._stop.set()
@@ -270,6 +288,8 @@ class ThreadedStreamSession:
         self._stop = threading.Event()
         self._feed_done = threading.Event()
         self._compute_done = threading.Event()
+        if low_latency:
+            _warm_up(engine, self.channels, block_in, self.max_batch_blocks)
 
     def stop(self) -> None:
         self._stop.set()
