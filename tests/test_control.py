@@ -160,3 +160,38 @@ def test_daemon_subprocess_e2e(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+class TestPhaseTypeInit:
+    """Round-1 regression: the standalone daemon always booted
+    phase_type="minimum" regardless of config.json filter.phaseType, so
+    /api/daemon/phase-type could disagree with what the streamer loaded."""
+
+    def test_explicit_phase(self, tmp_path):
+        d = ControlDaemon(endpoint=f"ipc://{tmp_path}/a.sock",
+                          phase_type="linear")
+        assert d.phase_type == "linear"
+
+    def test_min_alias_normalized(self, tmp_path):
+        d = ControlDaemon(endpoint=f"ipc://{tmp_path}/b.sock",
+                          phase_type="min")
+        assert d.phase_type == "minimum"
+
+    def test_phase_from_config(self, tmp_path, monkeypatch):
+        cfg = tmp_path / "config.json"
+        cfg.write_text(json.dumps({"filter": {"phaseType": "linear"}}))
+        monkeypatch.setenv("TOTTON_CONFIG_PATH", str(cfg))
+        d = ControlDaemon(endpoint=f"ipc://{tmp_path}/c.sock")
+        assert d.phase_type == "linear"
+
+    def test_default_minimum_without_config(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("TOTTON_CONFIG_PATH", str(tmp_path / "none.json"))
+        d = ControlDaemon(endpoint=f"ipc://{tmp_path}/d.sock")
+        assert d.phase_type == "minimum"
+
+    def test_invalid_config_phase_falls_back(self, tmp_path, monkeypatch):
+        cfg = tmp_path / "config.json"
+        cfg.write_text(json.dumps({"filter": {"phaseType": "weird"}}))
+        monkeypatch.setenv("TOTTON_CONFIG_PATH", str(cfg))
+        d = ControlDaemon(endpoint=f"ipc://{tmp_path}/e.sock")
+        assert d.phase_type == "minimum"

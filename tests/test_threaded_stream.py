@@ -84,3 +84,68 @@ def test_realtime_overflow_drops_not_blocks(coefficients_dir):
     assert session.stats.input_overflows >= 1
     assert session.stats.frames_in == 4096  # read happened, then dropped
     assert session._feed_done.is_set()
+
+
+def test_write_out_counts_one_overflow_per_episode(coefficients_dir):
+    """A single slow-sink episode must count ONE output overflow, not one
+    per 2 ms polling iteration (round-1 regression: a stalled drainer
+    reported hundreds of xruns)."""
+    import threading
+    import time
+
+    from totton_tpu.io.devices import NullSink, NullSource
+
+    lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+    eng = StreamingUpsampler(lf, channels=2)
+    session = ThreadedStreamSession(
+        NullSource(channels=2, sample_rate=352800), NullSink(), eng,
+        buffer_blocks=3,
+    )
+    ring = session._out_ring
+    # Fill the ring so the writer stalls immediately.
+    pad = np.zeros(1024, np.float32)
+    while ring.write(pad):
+        pass
+    leftover = ring.available_to_write()
+    if leftover:
+        ring.write(np.zeros(leftover, np.float32))
+    flat = np.zeros(ring.capacity - (ring.capacity % 2), np.float32)
+    writer = threading.Thread(target=session._write_out, args=(flat,))
+    writer.start()
+    time.sleep(0.1)  # ~50 poll iterations under the old accounting
+    assert session.stats.output_overflows == 1
+    ring.read(ring.available_to_read())  # drain everything at once
+    writer.join(timeout=5)
+    assert not writer.is_alive()
+    assert session.stats.output_overflows == 1
+
+
+def test_low_latency_dispatch_quantized_to_warmed_shapes():
+    """Low-latency sessions may only dispatch the shapes _warm_up
+    pre-compiled ({1, max_batch_blocks} blocks); a 2..max-1 backlog must
+    round down to 1 rather than jit a fresh shape mid-stream."""
+    from totton_tpu.io.stream import _quantize_nblocks
+
+    for ready in range(1, 8):
+        assert _quantize_nblocks(ready, 8, low_latency=True) == 1
+    for ready in (8, 9, 100):
+        assert _quantize_nblocks(ready, 8, low_latency=True) == 8
+    # Offline sources dispatch what they have (EOF flush path).
+    assert _quantize_nblocks(3, 8, low_latency=False) == 3
+    assert _quantize_nblocks(100, 8, low_latency=False) == 8
+
+
+def test_output_ring_size_independent_of_dispatch_depth(coefficients_dir):
+    """The output ring must not scale with max_batch_blocks (round-1: a
+    512-block offline dispatch eagerly allocated a ~210 MB output ring);
+    _write_out chunks into whatever space the drainer frees."""
+    from totton_tpu.io.devices import NullSink, NullSource
+
+    lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+    eng = StreamingUpsampler(lf, channels=2)
+    session = ThreadedStreamSession(
+        NullSource(channels=2, sample_rate=352800), NullSink(), eng,
+        buffer_blocks=8, max_batch_blocks=512,
+    )
+    expected = eng.config.block_size * 8 * 2  # block_size * buffer_blocks * ch
+    assert session._out_ring.capacity == expected

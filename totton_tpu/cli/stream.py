@@ -229,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             on_soft_reset=upsampler.reset,
             on_phase_change=on_phase_change,
             stats_path=args.stats_path,
+            phase_type=current_phase["value"],
         )
         daemon.start()
         print(f"Control endpoint: {args.control_endpoint}", file=sys.stderr)

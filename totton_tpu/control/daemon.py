@@ -25,6 +25,30 @@ STATS_PATH_ENV = "TOTTON_STATS_PATH"
 DEFAULT_STATS_PATH = "/tmp/gpu_upsampler_stats.json"
 
 
+def _resolve_initial_phase(phase_type: str | None) -> str:
+    """Initial PHASE_TYPE state: explicit value > config.json
+    `filter.phaseType` > "minimum".
+
+    Reading the config keeps a standalone daemon's reported phase in
+    agreement with what the streamer loads from the same config (round-1
+    drift: the daemon always booted "minimum").
+    """
+    if phase_type is None:
+        try:
+            from totton_tpu.web.services.config import load_config
+
+            settings = load_config()
+            if settings.filter is not None:
+                phase_type = settings.filter.phase_type
+        except Exception:
+            phase_type = None
+    if phase_type in ("min", "minimum"):
+        return "minimum"
+    if phase_type == "linear":
+        return "linear"
+    return "minimum"
+
+
 class ControlDaemon:
     """Registers the command set and owns daemon-side state."""
 
@@ -37,6 +61,7 @@ class ControlDaemon:
         on_phase_change: Callable[[str], None] | None = None,
         list_devices_fn: Callable[[], dict] | None = None,
         stats_path: str | None = None,
+        phase_type: str | None = None,
     ) -> None:
         self.endpoint = endpoint or os.environ.get(ENDPOINT_ENV, DEFAULT_ENDPOINT)
         self.server = ZmqCommandServer(self.endpoint, pub_endpoint)
@@ -50,7 +75,7 @@ class ControlDaemon:
             STATS_PATH_ENV, DEFAULT_STATS_PATH
         )
 
-        self.phase_type = "minimum"
+        self.phase_type = _resolve_initial_phase(phase_type)
         self.reload_count = 0
         self.soft_reset_count = 0
         self._start_time = time.monotonic()

@@ -106,12 +106,31 @@ def _warm_up(engine: StreamingUpsampler, channels: int, block_in: int,
     a mid-stream compile means seconds of dropped or stalled audio, so
     the single-block shape (the steady-state dispatch at threshold 1) and
     the max-batch shape (backlog catch-up) are compiled before the first
-    sample arrives. The engine state is reset afterwards.
+    sample arrives. The engine state is reset afterwards. Low-latency
+    dispatch sizes are quantized to exactly this warmed set
+    (_quantize_nblocks) so no other shape can ever compile mid-stream.
     """
     for nblocks in {1, max_batch_blocks}:
         engine.process_block(
             np.zeros((channels, nblocks * block_in), np.float32))
     engine.reset()
+
+
+def _quantize_nblocks(ready: int, max_batch_blocks: int,
+                      low_latency: bool) -> int:
+    """Blocks to dispatch given `ready` whole blocks in the ring.
+
+    Low-latency sessions may only hit shapes that _warm_up pre-compiled
+    ({1, max_batch_blocks}): a backlog of 2..max-1 blocks (one slow
+    tunneled dispatch while the feeder kept reading) would otherwise jit a
+    fresh batch shape mid-stream — minutes of stalled audio, the exact
+    failure warm-up exists to prevent. Offline sources dispatch whatever
+    has accumulated (their threshold already equals max_batch_blocks, so
+    a non-max shape occurs at most once, at EOF flush).
+    """
+    if low_latency and ready < max_batch_blocks:
+        return 1
+    return min(ready, max_batch_blocks)
 
 
 class StreamSession:
@@ -147,6 +166,7 @@ class StreamSession:
             max_batch_blocks = _auto_batch_blocks(source,
                                                   REALTIME_BATCH_BLOCKS)
         self.max_batch_blocks = max(1, max_batch_blocks)
+        self._low_latency = low_latency
         self._dispatch_threshold = 1 if low_latency else self.max_batch_blocks
         capacity = max(block_in, self.period_frames) * max(
             3, buffer_blocks, self.max_batch_blocks + 2)
@@ -221,7 +241,8 @@ class StreamSession:
                 ready = avail // block_in
                 if ready == 0 or (not eof and ready < self._dispatch_threshold):
                     break
-                nblocks = min(ready, self.max_batch_blocks)
+                nblocks = _quantize_nblocks(
+                    ready, self.max_batch_blocks, self._low_latency)
                 flat = self._in_ring.read(nblocks * block_in * self.channels)
                 frames = flat.reshape(-1, self.channels).T
                 self._dispatch(frames, nblocks * block_in)
@@ -274,10 +295,15 @@ class ThreadedStreamSession:
         if max_batch_blocks is None:
             max_batch_blocks = _auto_batch_blocks(source, 8)
         self.max_batch_blocks = max(1, max_batch_blocks)
+        self._low_latency = low_latency
         self._dispatch_threshold = 1 if low_latency else self.max_batch_blocks
         depth = max(3, buffer_blocks, self.max_batch_blocks + 2)
         cap_in = max(block_in, self.period_frames) * depth
-        cap_out = engine.config.block_size * depth
+        # The output ring does NOT scale with dispatch depth: _emit writes
+        # in ring-sized chunks with backpressure (the drainer frees space
+        # concurrently), so a deep offline dispatch doesn't force a
+        # proportionally deep (hundreds of MB) output allocation.
+        cap_out = engine.config.block_size * max(3, buffer_blocks)
         self._in_ring = make_ring_buffer(cap_in * self.channels)
         self._out_ring = make_ring_buffer(cap_out * self.channels)
         self.stats = StreamStats(
@@ -348,10 +374,34 @@ class ThreadedStreamSession:
             frames.shape[1] // self.engine.block_input_frames
         )
         flat = y[:, : valid_in * self.engine.ratio].T.ravel()
-        while not self._out_ring.write(flat):
+        self._write_out(flat)
+
+    def _write_out(self, flat: np.ndarray) -> None:
+        """Backpressured output-ring write in whatever-fits chunks.
+
+        A full ring counts ONE output overflow per stalled episode
+        (reference drop-and-count-once semantics,
+        alsa_streamer_main.cpp:557-562 — except nothing is dropped here:
+        the drainer owns the sink, so waiting is safe), not one per
+        2 ms polling iteration. Chunking keeps the ring small — it no
+        longer has to admit a whole max_batch_blocks dispatch at once.
+        """
+        n = len(flat)
+        pos = 0
+        stalled = False
+        while pos < n:
+            room = self._out_ring.available_to_write()
+            room -= room % self.channels  # keep frames whole for the drainer
+            take = min(n - pos, room)
+            if take and self._out_ring.write(flat[pos:pos + take]):
+                pos += take
+                stalled = False
+                continue
             if self._stop.is_set():
                 return
-            self.stats.output_overflows += 1
+            if not stalled:
+                stalled = True
+                self.stats.output_overflows += 1
             time.sleep(0.002)
 
     def run(self, max_frames: int | None = None) -> StreamStats:
@@ -368,7 +418,8 @@ class ThreadedStreamSession:
                 ready = avail // block_in
                 feed_done = self._feed_done.is_set()
                 if ready and (ready >= self._dispatch_threshold or feed_done):
-                    nblocks = min(ready, self.max_batch_blocks)
+                    nblocks = _quantize_nblocks(
+                        ready, self.max_batch_blocks, self._low_latency)
                     flat = self._in_ring.read(
                         nblocks * block_in * self.channels
                     )

@@ -334,7 +334,8 @@ def _pruned_half_inverse(zr, zi, h: int, j0: int):
 def _upsample_frames_absorbed(
     frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
 ) -> jnp.ndarray:
-    """Tile-absorbed inverse: the hot path for ratio >= 2 (see
+    """Tile-absorbed inverse: the hot path for ratio >= 4 (gated by
+    _absorbed_eligible; 2x stays on the folded pipeline per PERF.md) (see
     upsample_frames docstring). Per frame it materializes only the m-point
     forward spectrum and the two [P2, Q2]-sized inverse stages — the
     h-point tiled spectrum E and the elementwise Z pass of the folded
