@@ -1,16 +1,27 @@
-"""EQ profile file handling: safety checks, validation, structured parsing.
+"""EQ profile intake for the web layer: name safety, content validation,
+structured profile views.
 
-Parity with the reference's web/services/eq.py: path-traversal-safe names,
-per-type required-parameter validation with range bounds, clipping-headroom
-recommendation, and OPRA / Modern-Target-aware profile parsing.
+The *behavioral* contract kept from the reference web service
+(web/services/eq.py there): the numeric validation bounds and the report
+dict keys (``valid``/``errors``/``warnings``/``preamp_db``/``filter_count``/
+``recommended_preamp_db``) that the API surface exposes, plus the
+path-traversal rules encoded by the filename patterns in
+totton_tpu.web.constants. Everything else — parsing, the per-type
+requirement model, and all user-facing text — is this module's own.
+
+Instead of a per-parameter regex battery, filter lines are read by a
+single token walk (``scan_band_line``), and the per-type requirements are
+derived from the engine-side APO taxonomy in totton_tpu.eq.apo so the web
+validator and the DSP parser can never disagree about which types exist.
 """
 
 from __future__ import annotations
 
-import re
+import dataclasses
 from pathlib import Path
 from typing import Any
 
+from totton_tpu.eq import apo
 from totton_tpu.integration.modern_target import MODERN_TARGET_SPEC
 from totton_tpu.web.constants import (
     FREQ_MAX_HZ,
@@ -27,32 +38,24 @@ from totton_tpu.web.constants import (
     SAFE_PROFILE_NAME_PATTERN,
 )
 
-#: Which parameters each filter type requires (fc always required).
-FILTER_TYPE_PARAMS: dict[str, dict[str, bool]] = {
-    "PK": {"gain": True, "q": True},
-    "MODAL": {"gain": True, "q": True},
-    "PEQ": {"gain": True, "q": True},
-    "LP": {"gain": False, "q": False},
-    "LPQ": {"gain": False, "q": False},
-    "HP": {"gain": False, "q": False},
-    "HPQ": {"gain": False, "q": False},
-    "BP": {"gain": False, "q": False},
-    "NO": {"gain": False, "q": False},
-    "AP": {"gain": True, "q": True},
-    "LS": {"gain": True, "q": True},
-    "HS": {"gain": True, "q": True},
-    "LSC": {"gain": True, "q": False},
-    "HSC": {"gain": True, "q": False},
-    "LSQ": {"gain": True, "q": True},
-    "HSQ": {"gain": True, "q": True},
-    "LS 6DB": {"gain": True, "q": False},
-    "LS 12DB": {"gain": True, "q": False},
-    "HS 6DB": {"gain": True, "q": False},
-    "HS 12DB": {"gain": True, "q": False},
-}
+#: Every type the DSP-side parser knows (single source of truth).
+KNOWN_TYPES = frozenset(ft.value for ft in apo.FilterType)
+
+#: Types that are meaningless without a Gain value: every gain-defined
+#: type in the engine taxonomy, plus all-pass (which APO specifies with
+#: Gain even though the magnitude response ignores it).
+GAIN_REQUIRED = frozenset(ft.value for ft in apo.GAIN_TYPES) | {"AP"}
+
+#: Types that need a width parameter (Q, BW Oct, or BW Hz). The C-suffix
+#: and fixed-slope shelves carry their slope in the type itself.
+WIDTH_REQUIRED = frozenset(
+    {"PK", "MODAL", "PEQ", "AP", "LS", "HS", "LSQ", "HSQ"}
+)
 
 
 def is_safe_profile_name(name: str | None) -> bool:
+    """Profile names come from URL path segments; reject anything that
+    could escape the EQ directory."""
     if not name:
         return True
     if not SAFE_PROFILE_NAME_PATTERN.match(name):
@@ -61,200 +64,321 @@ def is_safe_profile_name(name: str | None) -> bool:
 
 
 def sanitize_filename(filename: str) -> str | None:
+    """Reduce an uploaded filename to a safe basename, or None."""
     if not filename:
         return None
-    basename = filename.replace("\\", "/").split("/")[-1]
-    if not SAFE_FILENAME_PATTERN.match(basename) or ".." in basename:
+    base = filename.replace("\\", "/").rsplit("/", 1)[-1]
+    if ".." in base or not SAFE_FILENAME_PATTERN.match(base):
         return None
-    return basename
+    return base
 
 
-_FILTER_LINE = re.compile(
-    r"Filter\s*(\d+)?\s*:\s+(ON|OFF)\s+(.+?)\s+Fc\s+([\d.]+)\s*(?:Hz)?",
-    re.IGNORECASE,
-)
+# ---------------------------------------------------------------------------
+# Token-walk scanner for "Filter N: ON TYPE Fc F Hz ..." lines
+# ---------------------------------------------------------------------------
 
 
-def parse_filter_line(line: str) -> dict[str, Any] | None:
-    m = _FILTER_LINE.match(line)
-    if not m:
+@dataclasses.dataclass
+class BandLine:
+    """One filter line as scanned (None = parameter absent on the line)."""
+
+    declared_num: int | None = None
+    enabled: bool = True
+    type_name: str | None = None
+    fc_hz: float | None = None
+    gain_db: float | None = None
+    q: float | None = None
+    bw_oct: float | None = None
+    bw_hz: float | None = None
+
+    @property
+    def has_width(self) -> bool:
+        return (self.q is not None or self.bw_oct is not None
+                or self.bw_hz is not None)
+
+    def effective_q(self) -> float | None:
+        if self.q is not None:
+            return self.q
+        if self.bw_oct is not None:
+            return apo.bandwidth_oct_to_q(self.bw_oct)
+        if self.bw_hz is not None and self.fc_hz is not None:
+            return apo.bandwidth_hz_to_q(self.fc_hz, self.bw_hz)
         return None
-    result: dict[str, Any] = {
-        "filter_num": int(m.group(1)) if m.group(1) else None,
-        "enabled": m.group(2).upper() == "ON",
-        "filter_type": " ".join(m.group(3).upper().split()),
-        "frequency": float(m.group(4)),
-        "gain": None, "q": None, "bw": None, "oct": None,
-    }
-    rest = line[m.end():]
-    gm = re.search(r"Gain\s+([-+]?\d+\.?\d*)\s*dB", rest, re.IGNORECASE)
-    if gm:
-        result["gain"] = float(gm.group(1))
-    qm = re.search(r"\bQ\s+([\d.]+)", rest, re.IGNORECASE)
-    if qm:
-        result["q"] = float(qm.group(1))
-    om = re.search(r"BW\s+oct\s+([\d.]+)", rest, re.IGNORECASE)
-    if om:
-        result["oct"] = float(om.group(1))
+
+
+def _number(token: str) -> float | None:
+    try:
+        return float(token)
+    except ValueError:
+        return None
+
+
+def is_filter_line(line: str) -> bool:
+    """A line that *claims* to be a filter directive (it may still fail
+    to scan — the validator wants to warn about those, not skip them)."""
+    lowered = line.lstrip().lower()
+    return lowered.startswith("filter:") or lowered.startswith("filter ")
+
+
+def scan_band_line(line: str) -> BandLine | None:
+    """Scan one filter line by walking its whitespace tokens.
+
+    Grammar: ``Filter [N]: ON|OFF TYPE... Fc F [Hz] [Gain G dB]
+    [Q q | BW Oct o | BW b Hz]``. Returns None when the line doesn't
+    follow the shape at all (caller decides whether that's an error).
+    """
+    if ":" not in line or not is_filter_line(line):
+        return None
+    head, _, rest = line.partition(":")
+    band = BandLine()
+    head_tokens = head.split()
+    if len(head_tokens) == 2 and head_tokens[1].isdigit():
+        band.declared_num = int(head_tokens[1])
+
+    tokens = rest.split()
+    if not tokens or tokens[0].upper() not in ("ON", "OFF"):
+        return None
+    band.enabled = tokens[0].upper() == "ON"
+
+    # Type = every token up to the Fc keyword (handles "LS 6DB").
+    i = 1
+    type_tokens: list[str] = []
+    while i < len(tokens) and tokens[i].upper() != "FC":
+        type_tokens.append(tokens[i].upper())
+        i += 1
+    if not type_tokens or i >= len(tokens):
+        return None
+    band.type_name = " ".join(type_tokens)
+
+    i += 1  # past "Fc"
+    if i >= len(tokens):
+        return None
+    fc_tok = tokens[i]
+    # Accept a glued unit ("1000Hz") or a separate one ("1000 Hz").
+    if fc_tok.lower().endswith("hz"):
+        fc_tok = fc_tok[:-2]
+    band.fc_hz = _number(fc_tok)
+    if band.fc_hz is None:
+        return None
+    i += 1
+    if i < len(tokens) and tokens[i].lower() in ("hz", "khz"):
+        if tokens[i].lower() == "khz":
+            band.fc_hz *= 1000.0
+        i += 1
+
+    # Remaining parameters, in any order.
+    while i < len(tokens):
+        key = tokens[i].upper()
+        if key == "GAIN" and i + 1 < len(tokens):
+            band.gain_db = _number(tokens[i + 1])
+            i += 2
+            if i < len(tokens) and tokens[i].lower() == "db":
+                i += 1
+        elif key == "Q" and i + 1 < len(tokens):
+            band.q = _number(tokens[i + 1])
+            i += 2
+        elif key == "BW" and i + 1 < len(tokens):
+            if tokens[i + 1].upper() == "OCT" and i + 2 < len(tokens):
+                band.bw_oct = _number(tokens[i + 2])
+                i += 3
+            else:
+                band.bw_hz = _number(tokens[i + 1])
+                i += 2
+                if i < len(tokens) and tokens[i].lower() == "hz":
+                    i += 1
+        else:
+            i += 1
+    return band
+
+
+def is_correction_band(band: BandLine | None) -> bool:
+    """True when a scanned band is one of the Modern Target (KB5000_7)
+    correction peaks rather than a headphone-EQ band."""
+    if band is None or band.type_name != "PK":
+        return False
+    if band.fc_hz is None or band.gain_db is None:
+        return False
+    q = band.effective_q()
+    if q is None:
+        return False
+    return MODERN_TARGET_SPEC.matches_any(band.fc_hz, band.gain_db, q)
+
+
+# ---------------------------------------------------------------------------
+# Validation
+# ---------------------------------------------------------------------------
+
+
+def _scan_preamp(line: str) -> tuple[bool, float | None]:
+    """(is_preamp_line, value or None when unreadable)."""
+    head, sep, rest = line.partition(":")
+    if not sep or head.strip().lower() != "preamp":
+        return False, None
+    value_tok = rest.split()[0] if rest.split() else ""
+    return True, _number(value_tok)
+
+
+def _check_band(band: BandLine, label: int | str,
+                errors: list[str], warnings: list[str]) -> float:
+    """Range/requirement checks for one band; returns its positive boost
+    contribution (0 when disabled or cutting)."""
+    t = band.type_name
+    if t not in KNOWN_TYPES:
+        warnings.append(f"Band {label}: unrecognized filter type '{t}'")
     else:
-        bm = re.search(r"BW\s+([\d.]+)\s*(?:Hz)?", rest, re.IGNORECASE)
-        if bm:
-            result["bw"] = float(bm.group(1))
-    return result
-
-
-def is_modern_target_filter(parsed: dict | None) -> bool:
-    """Does a parsed filter line match a KB5000_7 correction band?"""
-    if not parsed or parsed.get("gain") is None or parsed.get("q") is None:
-        return False
-    if parsed.get("filter_type") != "PK":
-        return False
-    return MODERN_TARGET_SPEC.matches_any(
-        parsed["frequency"], parsed["gain"], parsed["q"]
-    )
+        if t in GAIN_REQUIRED and band.gain_db is None:
+            errors.append(f"Band {label}: {t} needs a Gain value")
+        if t in WIDTH_REQUIRED and not band.has_width:
+            errors.append(
+                f"Band {label}: {t} needs a width (Q, BW Oct, or BW Hz)"
+            )
+    if band.fc_hz is not None and not (
+            FREQ_MIN_HZ <= band.fc_hz <= FREQ_MAX_HZ):
+        errors.append(
+            f"Band {label}: Fc must be between {FREQ_MIN_HZ} and "
+            f"{FREQ_MAX_HZ} Hz (got {band.fc_hz:g})"
+        )
+    boost = 0.0
+    if band.gain_db is not None:
+        if not GAIN_MIN_DB <= band.gain_db <= GAIN_MAX_DB:
+            errors.append(
+                f"Band {label}: gain must be between {GAIN_MIN_DB} and "
+                f"{GAIN_MAX_DB} dB (got {band.gain_db:g})"
+            )
+        elif band.enabled:
+            boost = max(0.0, band.gain_db)
+    if band.q is not None and not Q_MIN <= band.q <= Q_MAX:
+        errors.append(
+            f"Band {label}: Q must be between {Q_MIN} and {Q_MAX} "
+            f"(got {band.q:g})"
+        )
+    return boost
 
 
 def validate_eq_profile_content(content: str) -> dict[str, Any]:
-    """Validate APO text: required Preamp, per-type params, range bounds,
-    filter-count cap, clipping-headroom recommendation."""
+    """Validate APO profile text.
+
+    Checks: a Preamp line exists and is in range; each filter line scans;
+    known types carry their required parameters; Fc/gain/Q are inside the
+    bounds from totton_tpu.web.constants; the band count is capped; and a
+    positive-boost profile gets a clipping-headroom recommendation.
+    """
     errors: list[str] = []
     warnings: list[str] = []
     preamp_db: float | None = None
-    filter_count = 0
-    max_positive_gain = 0.0
-    recommended_preamp_db = 0.0
+    seen_preamp = False
+    band_count = 0
+    peak_boost = 0.0
 
     if not content or not content.strip():
         return {
-            "valid": False, "errors": ["Empty file"], "warnings": [],
+            "valid": False, "errors": ["Profile is empty"], "warnings": [],
             "preamp_db": None, "filter_count": 0,
             "recommended_preamp_db": 0.0,
         }
 
-    lines = content.strip().split("\n")
-    preamp_found = False
-    for line in lines:
-        stripped = line.strip()
-        if stripped.startswith("Preamp:"):
-            preamp_found = True
-            m = re.search(r"Preamp:\s*([-+]?\d+\.?\d*)\s*[dD][bB]?", stripped)
-            if m:
-                preamp_db = float(m.group(1))
-                if not PREAMP_MIN_DB <= preamp_db <= PREAMP_MAX_DB:
-                    errors.append(
-                        f"Preamp {preamp_db}dB out of range "
-                        f"({PREAMP_MIN_DB}dB to {PREAMP_MAX_DB}dB)"
-                    )
+    for raw in content.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        is_preamp, value = _scan_preamp(line)
+        if is_preamp:
+            if seen_preamp:
+                continue  # first Preamp line wins, as in the engine parser
+            seen_preamp = True
+            if value is None:
+                warnings.append(f"Unreadable Preamp value: {line}")
             else:
-                warnings.append(f"Could not parse Preamp value: {stripped}")
-            break
-    if not preamp_found:
-        errors.append("Missing 'Preamp:' line")
-
-    for line in lines:
-        stripped = line.strip()
-        lower = stripped.lower()
-        if not stripped or stripped.startswith("#") or lower.startswith("preamp:"):
+                preamp_db = value
+                if not PREAMP_MIN_DB <= value <= PREAMP_MAX_DB:
+                    errors.append(
+                        f"Preamp must be between {PREAMP_MIN_DB} and "
+                        f"{PREAMP_MAX_DB} dB (got {value:g})"
+                    )
             continue
-        if not (lower.startswith("filter ") or lower.startswith("filter:")):
+        if not is_filter_line(line):
             continue
-        filter_count += 1
-        parsed = parse_filter_line(stripped)
-        if not parsed:
-            shown = stripped[:50] + "..." if len(stripped) > 50 else stripped
-            warnings.append(f"Could not parse filter line: {shown}")
+        band_count += 1
+        band = scan_band_line(line)
+        if band is None:
+            preview = line if len(line) <= 50 else line[:50] + "..."
+            warnings.append(f"Skipping unreadable filter line: {preview}")
             continue
-        label = parsed["filter_num"] or filter_count
-        ftype = parsed["filter_type"]
-        params = FILTER_TYPE_PARAMS.get(ftype)
-        if params is None:
-            warnings.append(f"Filter {label}: Unknown type '{ftype}'")
-        else:
-            if params["gain"] and parsed["gain"] is None:
-                errors.append(
-                    f"Filter {label}: Type '{ftype}' requires Gain parameter"
-                )
-            if (params["q"] and parsed["q"] is None
-                    and parsed["bw"] is None and parsed["oct"] is None):
-                errors.append(
-                    f"Filter {label}: Type '{ftype}' requires Q (or BW/Oct) "
-                    "parameter"
-                )
-        freq = parsed["frequency"]
-        if not FREQ_MIN_HZ <= freq <= FREQ_MAX_HZ:
-            errors.append(
-                f"Filter {label}: Frequency {freq}Hz out of range "
-                f"({FREQ_MIN_HZ}Hz to {FREQ_MAX_HZ}Hz)"
-            )
-        gain = parsed["gain"]
-        if gain is not None:
-            if not GAIN_MIN_DB <= gain <= GAIN_MAX_DB:
-                errors.append(
-                    f"Filter {label}: Gain {gain}dB out of range "
-                    f"({GAIN_MIN_DB}dB to {GAIN_MAX_DB}dB)"
-                )
-            elif parsed["enabled"] and gain > max_positive_gain:
-                max_positive_gain = gain
-        q = parsed["q"]
-        if q is not None and not Q_MIN <= q <= Q_MAX:
-            errors.append(
-                f"Filter {label}: Q {q} out of range ({Q_MIN} to {Q_MAX})"
-            )
-
-    if filter_count > MAX_EQ_FILTERS:
-        errors.append(
-            f"Too many filters ({filter_count}). Maximum allowed: "
-            f"{MAX_EQ_FILTERS}"
+        label = band.declared_num or band_count
+        peak_boost = max(
+            peak_boost, _check_band(band, label, errors, warnings)
         )
-    if filter_count == 0 and preamp_found:
-        warnings.append("No filter lines found (only Preamp)")
 
-    if max_positive_gain > 0:
-        recommended_preamp_db = -max_positive_gain
-        if preamp_db is not None and preamp_db > recommended_preamp_db:
-            warnings.append(
-                f"Preamp {preamp_db}dB may clip (max boost "
-                f"+{max_positive_gain}dB). Recommended Preamp: "
-                f"{recommended_preamp_db}dB or lower."
-            )
+    if not seen_preamp:
+        errors.append("No Preamp line in profile")
+    if band_count > MAX_EQ_FILTERS:
+        errors.append(
+            f"Profile has {band_count} filter lines; at most "
+            f"{MAX_EQ_FILTERS} are supported"
+        )
+    if band_count == 0 and seen_preamp:
+        warnings.append("Profile defines no filters (Preamp only)")
+
+    recommended = -peak_boost
+    if peak_boost > 0 and preamp_db is not None and preamp_db > recommended:
+        warnings.append(
+            f"Boosts up to +{peak_boost:g} dB with preamp {preamp_db:g} dB "
+            f"can clip; set preamp to {recommended:g} dB or below"
+        )
 
     return {
         "valid": not errors,
         "errors": errors,
         "warnings": warnings,
         "preamp_db": preamp_db,
-        "filter_count": filter_count,
-        "recommended_preamp_db": recommended_preamp_db,
+        "filter_count": band_count,
+        "recommended_preamp_db": recommended if peak_boost > 0 else 0.0,
     }
 
 
 def validate_upload(filename: str, content_bytes: bytes) -> tuple[str, str, dict]:
-    """Validate an uploaded profile. Returns (content, safe_name, report);
-    raises ValueError with a user-facing message on rejection."""
+    """Gatekeep an uploaded profile file. Returns (text, safe_name,
+    report); raises ValueError with a user-facing reason on rejection."""
     if not filename or not filename.endswith(".txt"):
-        raise ValueError("Only .txt files are supported")
+        raise ValueError("EQ profiles must be .txt files")
     safe = sanitize_filename(filename)
     if not safe:
         raise ValueError(
-            "Invalid filename. Use only letters, numbers, underscores, "
-            "hyphens, and dots."
+            "Unsafe filename; stick to letters, digits, '_', '-' and '.'"
         )
     if len(content_bytes) > MAX_EQ_FILE_SIZE:
         raise ValueError(
-            f"File too large. Maximum size: {MAX_EQ_FILE_SIZE // (1 << 20)}MB"
+            f"Profile exceeds the {MAX_EQ_FILE_SIZE // (1 << 20)} MB "
+            "size limit"
         )
     try:
-        content = content_bytes.decode("utf-8")
+        text = content_bytes.decode("utf-8")
     except UnicodeDecodeError:
-        raise ValueError("File must be UTF-8 encoded text")
-    report = validate_eq_profile_content(content)
+        raise ValueError("Profile is not valid UTF-8 text")
+    report = validate_eq_profile_content(text)
     report["size_bytes"] = len(content_bytes)
-    return content, safe, report
+    return text, safe, report
+
+
+# ---------------------------------------------------------------------------
+# Structured profile view
+# ---------------------------------------------------------------------------
+
+#: Attribution header fields an OPRA-applied profile carries (written by
+#: the OPRA apply route; see totton_tpu/web/app.py).
+_OPRA_HEADER_FIELDS = {
+    "OPRA": "product",
+    "Author": "author",
+    "License": "license",
+    "Source": "source",
+    "Details": "details",
+}
 
 
 def parse_eq_profile_content(file_path: Path) -> dict[str, Any]:
-    """Structured view of a saved profile: OPRA attribution header, Modern-
-    Target band separation, raw content."""
+    """Structured view of a saved profile for the UI: where it came from
+    (OPRA attribution header vs custom upload), whether it carries Modern
+    Target correction bands, and the band lines split accordingly."""
     if not file_path.exists():
         return {"error": "File not found"}
     try:
@@ -262,42 +386,41 @@ def parse_eq_profile_content(file_path: Path) -> dict[str, Any]:
     except OSError as e:
         return {"error": f"Failed to read file: {e}"}
 
-    lines = content.strip().split("\n")
-    is_opra = any(line.startswith("# OPRA:") for line in lines)
-    has_modern_target = any("Modern Target" in line for line in lines)
-
     opra_info: dict[str, str] = {}
-    if is_opra:
-        header_keys = {
-            "# OPRA:": "product", "# Author:": "author",
-            "# License:": "license", "# Source:": "source",
-            "# Details:": "details",
-        }
-        for line in lines:
-            for prefix, key in header_keys.items():
-                if line.startswith(prefix):
-                    opra_info[key] = line[len(prefix):].strip()
+    band_lines: list[str] = []
+    has_modern_target = False
+    for raw in content.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("#"):
+            key, sep, value = line.lstrip("# ").partition(":")
+            field = _OPRA_HEADER_FIELDS.get(key.strip())
+            if sep and field:
+                opra_info[field] = value.strip()
+            if "Modern Target" in line:
+                has_modern_target = True
+            continue
+        if _scan_preamp(line)[0] or is_filter_line(line):
+            band_lines.append(line)
 
-    filter_lines = [
-        line.strip() for line in lines
-        if line.strip().startswith(("Preamp:", "Filter"))
-    ]
-    opra_filters: list[str] = []
-    correction_filters: list[str] = []
+    is_opra = "product" in opra_info
+    eq_bands: list[str] = []
+    correction_bands: list[str] = []
     if is_opra and has_modern_target:
-        for line in filter_lines:
-            if is_modern_target_filter(parse_filter_line(line)):
-                correction_filters.append(line)
+        for line in band_lines:
+            if is_correction_band(scan_band_line(line)):
+                correction_bands.append(line)
             else:
-                opra_filters.append(line)
+                eq_bands.append(line)
     else:
-        opra_filters = filter_lines
+        eq_bands = band_lines
 
     return {
         "source_type": "opra" if is_opra else "custom",
         "has_modern_target": has_modern_target,
         "opra_info": opra_info or None,
-        "opra_filters": opra_filters,
-        "original_filters": correction_filters,
+        "opra_filters": eq_bands,
+        "original_filters": correction_bands,
         "raw_content": content,
     }
