@@ -3,11 +3,18 @@
 # (same precedence as the reference docker/entrypoint.sh:33-110).
 #
 # Modes:
-#   all      control daemon + streamer + web (default)
-#   dsp      control daemon + streamer
-#   control  control daemon only
+#   all      streamer with in-process control plane + web (default)
+#   dsp      streamer with in-process control plane
+#   control  standalone control daemon only (no engine: counters/stats —
+#            the reference stub's behavior; use dsp for live control)
 #   web      web UI only
-#   stream   streamer only (needs TOTTON_IN/TOTTON_OUT)
+#   stream   streamer only, no control endpoint (needs TOTTON_IN/TOTTON_OUT)
+#
+# Unlike the reference (whose shipped ZMQ server is a stub and RELOAD takes
+# effect via container restart, docker/entrypoint.sh:148-167), dsp/all serve
+# the ZMQ control protocol from INSIDE the streamer process
+# (totton-stream --control-endpoint): RELOAD / PHASE_TYPE_SET / SOFT_RESET
+# act on the live engine with no restart.
 set -euo pipefail
 
 MODE="${1:-all}"
@@ -40,6 +47,7 @@ PHASE="${TOTTON_PHASE:-$(cfg "c['filter']['phaseType']" minimum)}"
 FILTER_DIR="${TOTTON_FILTER_DIR:-$(cfg "c['filter']['directory']" /opt/totton-tpu/data/coefficients)}"
 STATS_PATH="${TOTTON_STATS_PATH:-/tmp/gpu_upsampler_stats.json}"
 WEB_PORT="${TOTTON_WEB_PORT:-8080}"
+ZMQ_ENDPOINT="${TOTTON_ZMQ_ENDPOINT:-ipc:///tmp/totton_zmq.sock}"
 
 PIDS=()
 cleanup() {
@@ -49,15 +57,16 @@ cleanup() {
 trap cleanup EXIT INT TERM
 
 start_control() {
-  totton-control --stats-path "$STATS_PATH" &
+  totton-control --stats-path "$STATS_PATH" --endpoint "$ZMQ_ENDPOINT" &
   PIDS+=("$!")
 }
 
-start_stream() {
+start_stream() {  # $1: extra args (e.g. --control-endpoint ...)
+  # shellcheck disable=SC2086
   totton-stream --in "$IN_DEV" --out "$OUT_DEV" \
     --rate "$RATE" --channels "$CHANNELS" --format "$FORMAT" \
     --period "$PERIOD" --ratio "$RATIO" --phase "$PHASE" \
-    --filter-dir "$FILTER_DIR" --stats-path "$STATS_PATH" &
+    --filter-dir "$FILTER_DIR" --stats-path "$STATS_PATH" ${1:-} &
   PIDS+=("$!")
 }
 
@@ -67,8 +76,8 @@ start_web() {
 }
 
 case "$MODE" in
-  all)      start_control; start_stream; start_web ;;
-  dsp)      start_control; start_stream ;;
+  all)      start_stream "--control-endpoint $ZMQ_ENDPOINT"; start_web ;;
+  dsp)      start_stream "--control-endpoint $ZMQ_ENDPOINT" ;;
   control)  start_control ;;
   stream)   start_stream ;;
   web)      start_web ;;

@@ -409,7 +409,12 @@ async def daemon_restart(request: web.Request) -> web.Response:
     restart_fn = request.app.get("restart_fn")
     if restart_fn is None:
         return _json_error(501, "restart hook not configured")
-    result = await asyncio.to_thread(restart_fn)
+    from totton_tpu.web.services.restart import RestartError
+
+    try:
+        result = await asyncio.to_thread(restart_fn)
+    except RestartError as e:
+        return _json_error(502, str(e))
     return web.json_response({"restarted": bool(result)})
 
 
