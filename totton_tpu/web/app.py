@@ -37,7 +37,7 @@ from totton_tpu.integration.opra import (
     get_database,
 )
 from totton_tpu.integration.opra_sync import OpraSyncService, SyncInProgressError
-from totton_tpu.web import constants
+from totton_tpu.web import constants, i18n
 from totton_tpu.web.services import daemon as daemon_service
 from totton_tpu.web.services.config import (
     Settings,
@@ -77,18 +77,30 @@ def _reload_daemon_if_running() -> dict:
 
 # --------------------------------------------------------------------- UI
 
-async def page_index(request: web.Request) -> web.Response:
-    settings = load_config()
-    html = _TEMPLATES.get_template("index.html").render(settings=settings)
+def _render_page(request: web.Request, template: str, **context) -> web.Response:
+    locale = i18n.negotiate_locale(request)
+    html = _TEMPLATES.get_template(template).render(
+        locale=locale,
+        t=i18n.translator(locale),
+        i18n_js=i18n.js_catalog(locale),
+        **context,
+    )
     return web.Response(text=html, content_type="text/html")
+
+
+async def page_index(request: web.Request) -> web.Response:
+    return _render_page(request, "index.html", settings=load_config())
 
 
 async def page_settings(request: web.Request) -> web.Response:
-    settings = load_config()
-    html = _TEMPLATES.get_template("settings.html").render(
-        settings=settings, raw=json.dumps(load_raw_config(), indent=2)
+    return _render_page(
+        request, "settings.html", settings=load_config(),
+        raw=json.dumps(load_raw_config(), indent=2),
     )
-    return web.Response(text=html, content_type="text/html")
+
+
+async def page_opra_sync(request: web.Request) -> web.Response:
+    return _render_page(request, "opra_sync.html")
 
 
 # --------------------------------------------------------------------- EQ
@@ -462,6 +474,7 @@ def create_app(
     r = app.router
     r.add_get("/", page_index)
     r.add_get("/settings", page_settings)
+    r.add_get("/opra-sync", page_opra_sync)
 
     for prefix in ("", "/api"):
         r.add_get(f"{prefix}/eq/profiles", eq_profiles)
