@@ -112,11 +112,36 @@ def main() -> int:
     print(f"single-dispatch latency ({blocks} blocks): "
           f"{(time.monotonic() - t0) * 1e3:.1f} ms", file=sys.stderr)
 
+    # SNR regression on the measured kernel path (guards against numerics
+    # rot between rounds: the throughput number is only meaningful if the
+    # >130 dB signal path holds; 32 blocks covers the absorbed >=32-frame
+    # production path).
+    from scipy import signal as ssig
+
+    snr_blocks = 32
+    xs = (rng.normal(size=(1, cfg.halo_in + snr_blocks * cfg.block_in))
+          * 0.3).astype(np.float32)
+    y = np.asarray(jax.jit(
+        lambda a, r, i: upsample_blocks(a, (r, i), cfg)
+    )(jnp.asarray(xs), hr, hi))[0]
+    up = np.zeros(xs.shape[1] * 16)
+    up[::16] = xs[0]
+    ref = ssig.fftconvolve(up, h.astype(np.float64))[: len(up)]
+    ref = ref[cfg.halo_in * 16:][: len(y)]
+    noise = y.astype(np.float64) - ref
+    snr_db = 10 * np.log10(np.sum(ref**2) / max(np.sum(noise**2), 1e-300))
+    print(f"on-chip SNR vs float64 oracle: {snr_db:.1f} dB", file=sys.stderr)
+    # TPU HIGHEST measures 135-136 dB; the CPU backend's f32 accumulation
+    # lands ~128 dB. 125 catches any precision-mode regression (HIGH is
+    # 90 dB, DEFAULT 47 dB) on either backend.
+    assert snr_db > 125.0, f"kernel SNR regression: {snr_db:.1f} dB"
+
     print(json.dumps({
         "metric": "upsampled_output_samples_per_s_per_chip_16x_80ktap_stereo",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": round(realtime_multiple, 2),
+        "snr_db_vs_float64": round(float(snr_db), 1),
     }))
     return 0
 

@@ -53,7 +53,10 @@ def _factorize(n: int) -> tuple[int, ...]:
 
     Two balanced stages (e.g. 65536 -> 256 x 256) beat three small ones:
     each inter-stage transpose is a full HBM pass of the working set, and
-    larger DFT matmuls utilize the MXU better.
+    larger DFT matmuls utilize the MXU better. (An ascending-order variant —
+    largest factor last, so the final stage's output lane width is >= 128 —
+    measured as a wash at 2x and -1.3% at 16x in a same-session A/B;
+    PERF.md round 2. The natural order below stays.)
     """
     if n == 0 or n & (n - 1):
         raise ValueError(f"FFT size must be a power of two, got {n}")

@@ -279,6 +279,21 @@ def _absorbed_consts(m: int, h: int):
     return p2, q2, r_m, t_reps, wt, wh
 
 
+def _aligned_k2_0(j0: int, p2: int, q2: int) -> int:
+    """First kept stage-2 output column of the pruned inverse.
+
+    Natural pruning: keep q2 - j0//p2 columns. An experiment that snapped
+    the kept count UP to a multiple of 128 (MXU lane width) — motivated by
+    isolated-matmul measurements where a [*, 256] @ [256, 100] tile ran at
+    1.8 TFLOP/s vs 4.2 for 128-aligned outputs (benchmarks/bench_stages) —
+    measured 2-3% SLOWER end-to-end in a same-session A/B at both 16x and
+    2x (PERF.md round 2): inside the fused pipeline XLA already absorbs the
+    sub-lane output tile, so the +28% stage-2 FLOPs just cost. Natural
+    pruning stays.
+    """
+    return j0 // p2
+
+
 @functools.lru_cache(maxsize=64)
 def _stage2_matrix(q2: int, p2: int, k2_0: int):
     """Pruned stage-2 DFT matrix W_{Q2}^{+q k2}, columns k2 >= k2_0."""
@@ -312,7 +327,7 @@ def _pruned_half_inverse(zr, zi, h: int, j0: int):
     br, bi = brr - bii, bri + bir
     tw_r, tw_i = _fft._twiddle(p2, q2, True)
     cr, ci = _fft.complex_mul(br, bi, tw_r, tw_i)
-    k2_0 = j0 // p2
+    k2_0 = _aligned_k2_0(j0, p2, q2)
     rem = j0 - k2_0 * p2
     w2_r, w2_i = _stage2_matrix(q2, p2, k2_0)
     # Emit [..., k2', k1] directly so natural order j = k2*P2 + k1 is a
@@ -415,9 +430,10 @@ def _upsample_frames_absorbed(
                          precision=_fft._PRECISION)
         )
 
-    # Inverse stage 2, output-pruned: j = k2*P2 + k1, keep j >= j0.
+    # Inverse stage 2, output-pruned: j = k2*P2 + k1, keep j >= j0
+    # (kept columns 128-aligned; see _aligned_k2_0).
     j0 = cfg.overlap // 2
-    k2_0 = j0 // p2
+    k2_0 = _aligned_k2_0(j0, p2, q2)
     rem = j0 - k2_0 * p2
     w2_r, w2_i = _stage2_matrix(q2, p2, k2_0)
     # Stage 2 emits [..., k2', k1] directly (einsum output order) — the
