@@ -34,5 +34,15 @@ def make_mesh(
         raise ValueError(
             f"mesh {n_channel}x{n_time} does not cover {n} devices"
         )
-    grid = np.asarray(devices[:need]).reshape(n_channel, n_time)
+    if jax.process_count() > 1:
+        # Multi-host: lay the grid out column-major so each time column
+        # (all channel rows of one time shard) is a block of consecutive
+        # devices — jax.devices() groups by process, so whole time columns
+        # then belong to single processes. That is the contract the
+        # per-process ingest path needs (each host feeds the time span its
+        # own devices compute; ShardedUpsampler validates it) and keeps a
+        # host's halo exchange on-host except at span boundaries.
+        grid = np.asarray(devices[:need]).reshape(n_time, n_channel).T
+    else:
+        grid = np.asarray(devices[:need]).reshape(n_channel, n_time)
     return Mesh(grid, axis_names=("channel", "time"))

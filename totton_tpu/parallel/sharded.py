@@ -164,9 +164,41 @@ class ShardedUpsampler:
         #: safe dispatch granule (multiple of step_input_frames whose
         #: per-shard length covers the halo)
         self.block_input_frames = self.step_input_frames * mult
+        self._sharding = NamedSharding(mesh, P("channel", "time"))
+        self._local_time_cols = self._resolve_local_time_cols(mesh)
         import threading
 
         self._lock = threading.Lock()
+
+    @staticmethod
+    def _resolve_local_time_cols(mesh: Mesh) -> list[int]:
+        """Time columns of the mesh owned by THIS process.
+
+        The per-process ingest contract: every time column (all channel
+        rows of one time shard) lives on a single process, so each host
+        feeds exactly the contiguous time span its own devices compute
+        (make_mesh lays multi-host grids out this way).
+        """
+        if jax.process_count() == 1:
+            return list(range(mesh.shape["time"]))
+        me = jax.process_index()
+        cols = []
+        for t in range(mesh.devices.shape[1]):
+            owners = {d.process_index for d in mesh.devices[:, t]}
+            if len(owners) != 1:
+                raise ValueError(
+                    "multi-host ingest needs process-homogeneous time "
+                    f"columns; column {t} spans processes {sorted(owners)} "
+                    "(build the mesh with parallel.make_mesh)"
+                )
+            if owners.pop() == me:
+                cols.append(t)
+        if cols and cols != list(range(cols[0], cols[0] + len(cols))):
+            raise ValueError(
+                f"this process's time columns {cols} are not contiguous; "
+                "build the mesh with parallel.make_mesh"
+            )
+        return cols
 
     @property
     def ratio(self) -> int:
@@ -202,21 +234,73 @@ class ShardedUpsampler:
                 )
             self._spectrum = spectrum
 
+    def _put(self, x: np.ndarray):
+        """Host -> device transfer of one step's input.
+
+        Single process: device_put of the global [C, T] array. Multi
+        process: ``x`` is this process's LOCAL time span ([C, T_local]);
+        jax.make_array_from_process_local_data assembles the global array
+        from every host's local feed — no host ever materializes the
+        global signal (the reference has no multi-host path at all;
+        SURVEY.md section 2.3).
+        """
+        n_time = self.mesh.shape["time"]
+        n_local = len(self._local_time_cols)
+        if jax.process_count() == 1:
+            return jax.device_put(jnp.asarray(x), self._sharding), x.shape[1]
+        if n_local == 0:
+            raise ValueError("this process owns no time columns of the mesh")
+        if x.shape[1] % n_local != 0:
+            raise ValueError(
+                f"local input length {x.shape[1]} must split across "
+                f"{n_local} local time shards"
+            )
+        global_t = x.shape[1] // n_local * n_time
+        arr = jax.make_array_from_process_local_data(
+            self._sharding, x, (x.shape[0], global_t)
+        )
+        return arr, global_t
+
+    def _local_output(self, y) -> np.ndarray:
+        """This process's contiguous span of the sharded output."""
+        if jax.process_count() == 1:
+            return np.asarray(y)
+        shards = sorted(y.addressable_shards, key=lambda s: (
+            s.index[0].start or 0, s.index[1].start or 0))
+        by_col: dict[int, list] = {}
+        for s in shards:
+            by_col.setdefault(s.index[1].start or 0, []).append(s)
+        cols = []
+        for start in sorted(by_col):
+            col = np.concatenate([np.asarray(s.data) for s in by_col[start]],
+                                 axis=0)
+            cols.append(col)
+        return np.concatenate(cols, axis=1)
+
     def process_block(self, x: np.ndarray) -> np.ndarray:
+        """Upsample one step of input.
+
+        Single process: x is the global [C, T] block, returns [C, T*ratio].
+        Multi process: x is this process's local time span [C, T_local],
+        returns the local [C, T_local*ratio] output span.
+
+        The host->device transfer happens OUTSIDE the dispatch lock (the
+        backend dispatches asynchronously, so transfer of step i+1 overlaps
+        compute of step i); the lock only orders tail updates and
+        filter/EQ hot-swaps against dispatch.
+        """
         x = np.asarray(x, dtype=np.float32)
         if x.ndim != 2 or x.shape[0] != self._channels:
             raise ValueError(
                 f"expected [channels={self._channels}, n], got {x.shape}"
             )
-        if x.shape[1] % self.step_input_frames != 0 or x.shape[1] == 0:
+        xs, global_t = self._put(x)
+        if global_t % self.step_input_frames != 0 or global_t == 0:
             raise ValueError(
-                f"input length {x.shape[1]} must be a positive multiple of "
-                f"step_input_frames {self.step_input_frames}"
+                f"global input length {global_t} must be a positive multiple "
+                f"of step_input_frames {self.step_input_frames}"
             )
-        _check_shapes(self.config, self.mesh, x.shape[0], x.shape[1])
+        _check_shapes(self.config, self.mesh, x.shape[0], global_t)
         with self._lock:
-            xs = jax.device_put(
-                jnp.asarray(x), NamedSharding(self.mesh, P("channel", "time"))
-            )
             y, self._tail = self._step(self._tail, xs, self._spectrum)
-        return np.asarray(y)
+        return self._local_output(y)
