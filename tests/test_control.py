@@ -195,3 +195,55 @@ class TestPhaseTypeInit:
         monkeypatch.setenv("TOTTON_CONFIG_PATH", str(cfg))
         d = ControlDaemon(endpoint=f"ipc://{tmp_path}/e.sock")
         assert d.phase_type == "minimum"
+
+
+class TestPubEvents:
+    """State-changing commands publish JSON events on the PUB socket
+    (the reference opens the socket via TOTTON_ZMQ_PUB_ENDPOINT but its
+    daemon never publishes; here subscribers get live notifications)."""
+
+    def test_reload_and_phase_events_published(self, tmp_path):
+        import json as _json
+        import time
+
+        import zmq
+
+        from totton_tpu.control.client import DaemonClient
+        from totton_tpu.control.daemon import ControlDaemon
+
+        endpoint = f"ipc://{tmp_path}/cmd.sock"
+        pub_endpoint = f"ipc://{tmp_path}/pub.sock"
+        daemon = ControlDaemon(endpoint=endpoint, pub_endpoint=pub_endpoint,
+                               phase_type="minimum")
+        daemon.start()
+        try:
+            ctx = zmq.Context.instance()
+            sub = ctx.socket(zmq.SUB)
+            sub.setsockopt_string(zmq.SUBSCRIBE, "")
+            sub.setsockopt(zmq.RCVTIMEO, 5000)
+            sub.connect(pub_endpoint)
+            time.sleep(0.3)  # let the SUB connect before publishing
+
+            client = DaemonClient(endpoint=endpoint, timeout_ms=5000)
+            assert client.reload_config().ok
+            event = _json.loads(sub.recv_string())
+            assert event["event"] == "reload" and event["count"] == 1
+
+            assert client.set_phase_type("linear").ok
+            event = _json.loads(sub.recv_string())
+            assert event == {"event": "phase_type", "phase_type": "linear"}
+
+            assert client.soft_reset().ok
+            event = _json.loads(sub.recv_string())
+            assert event["event"] == "soft_reset"
+            sub.close(0)
+        finally:
+            daemon.stop()
+
+    def test_pub_env_fallback(self, tmp_path, monkeypatch):
+        from totton_tpu.control.daemon import ControlDaemon
+
+        monkeypatch.setenv("TOTTON_ZMQ_PUB_ENDPOINT",
+                           f"ipc://{tmp_path}/envpub.sock")
+        daemon = ControlDaemon(endpoint=f"ipc://{tmp_path}/cmd2.sock")
+        assert daemon.server.pub_endpoint == f"ipc://{tmp_path}/envpub.sock"

@@ -21,6 +21,7 @@ from totton_tpu.control.server import ZmqCommandServer, ZmqRequest, build_error,
 
 DEFAULT_ENDPOINT = "ipc:///tmp/totton_zmq.sock"
 ENDPOINT_ENV = "TOTTON_ZMQ_ENDPOINT"
+PUB_ENDPOINT_ENV = "TOTTON_ZMQ_PUB_ENDPOINT"
 STATS_PATH_ENV = "TOTTON_STATS_PATH"
 DEFAULT_STATS_PATH = "/tmp/gpu_upsampler_stats.json"
 
@@ -64,6 +65,12 @@ class ControlDaemon:
         phase_type: str | None = None,
     ) -> None:
         self.endpoint = endpoint or os.environ.get(ENDPOINT_ENV, DEFAULT_ENDPOINT)
+        # PUB endpoint: flag > TOTTON_ZMQ_PUB_ENDPOINT env > off. When on,
+        # state-changing commands publish JSON events (the reference opens
+        # the socket via the same env, docker/entrypoint.sh:10,139, but its
+        # shipped daemon never publishes anything; subscribers here get
+        # real reload/phase/reset notifications).
+        pub_endpoint = pub_endpoint or os.environ.get(PUB_ENDPOINT_ENV)
         self.server = ZmqCommandServer(self.endpoint, pub_endpoint)
         self._on_reload = on_reload
         self._on_soft_reset = on_soft_reset
@@ -110,16 +117,23 @@ class ControlDaemon:
             pass
         return build_ok(data)
 
+    def _publish_event(self, event: str, **payload) -> None:
+        """Fire-and-forget PUB notification (no-op without a PUB socket)."""
+        self.server.publish(json.dumps({"event": event, **payload}))
+
     def _handle_reload(self, req: ZmqRequest) -> str:
         self.reload_count += 1
         if self._on_reload is not None:
             self._on_reload()
+        self._publish_event("reload", count=self.reload_count,
+                            phase_type=self.phase_type)
         return build_ok({"reloaded": True})
 
     def _handle_soft_reset(self, req: ZmqRequest) -> str:
         self.soft_reset_count += 1
         if self._on_soft_reset is not None:
             self._on_soft_reset()
+        self._publish_event("soft_reset", count=self.soft_reset_count)
         return build_ok({"reset": True})
 
     def _handle_phase_set(self, req: ZmqRequest) -> str:
@@ -132,6 +146,7 @@ class ControlDaemon:
         self.phase_type = phase
         if self._on_phase_change is not None:
             self._on_phase_change(phase)
+        self._publish_event("phase_type", phase_type=phase)
         return build_ok({"phase_type": self.phase_type})
 
     def _handle_list_devices(self, req: ZmqRequest) -> str:
