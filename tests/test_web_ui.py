@@ -147,3 +147,39 @@ def test_negotiate_locale_fallbacks():
     assert i18n.negotiate_locale(Req({"lang": "xx"})) == "en"
     assert i18n.negotiate_locale(
         Req(headers={"Accept-Language": "ja;q=0.8, en;q=0.5"})) == "ja"
+
+
+# ------------------------------------------------------- EQ response curve
+
+VALID_PROFILE = ("Preamp: -6 dB\n"
+                 "Filter 1: ON PK Fc 1000 Hz Gain -3 dB Q 1.4\n")
+
+
+async def test_eq_response_curve(client, tmp_path, monkeypatch):
+    eq_dir = tmp_path / "EQ"
+    eq_dir.mkdir(exist_ok=True)
+    (eq_dir / "demo.txt").write_text(VALID_PROFILE)
+
+    resp = await client.get("/api/eq/response?name=demo&points=64")
+    assert resp.status == 200
+    body = await resp.json()
+    assert body["name"] == "demo"
+    assert len(body["frequencies_hz"]) == 64
+    assert len(body["magnitude_db"]) == 64
+    # Preamp -6 dB at the low end (PK band at 1 kHz barely reaches 10 Hz).
+    assert abs(body["magnitude_db"][0] - (-6.0)) < 0.2
+    # Dip of about -3 dB relative to preamp near 1 kHz.
+    f = body["frequencies_hz"]
+    i = min(range(len(f)), key=lambda j: abs(f[j] - 1000.0))
+    assert body["magnitude_db"][i] < -7.5
+
+    # Unknown profile -> 404; unsafe name -> 400; bad params -> 400.
+    assert (await client.get("/api/eq/response?name=ghost")).status == 404
+    assert (await client.get("/api/eq/response?name=../etc")).status == 400
+    assert (await client.get(
+        "/api/eq/response?name=demo&sample_rate=1")).status == 400
+
+
+async def test_eq_response_active_fallback(client):
+    # No active profile configured -> 404.
+    assert (await client.get("/api/eq/response")).status == 404

@@ -136,6 +136,51 @@ async def eq_active(request: web.Request) -> web.Response:
     })
 
 
+async def eq_response_curve(request: web.Request) -> web.Response:
+    """Frequency-response curve of a saved profile (or the active one) on a
+    log grid — drives the dashboard's EQ plot. Beyond reference parity (the
+    reference UI never visualizes the response it applies)."""
+    import numpy as np
+
+    from totton_tpu.eq.apo import parse_eq_string
+    from totton_tpu.eq.biquad import profile_response
+
+    name = request.query.get("name")
+    if name is None:
+        settings = load_config()
+        if not settings.eq_enabled or not settings.eq_profile_path:
+            return _json_error(404, "no active profile")
+        path = Path(settings.eq_profile_path)
+        name = settings.eq_profile
+    else:
+        if not is_safe_profile_name(name):
+            return _json_error(400, "Invalid profile name")
+        path = _profiles_dir() / f"{name}.txt"
+    if not path.exists():
+        return _json_error(404, f"Profile not found: {name}")
+
+    try:
+        points = min(2048, max(16, int(request.query.get("points", "256"))))
+        sample_rate = float(request.query.get("sample_rate", "48000"))
+        if not 8000.0 <= sample_rate <= 1536000.0:
+            raise ValueError("sample_rate out of range")
+    except ValueError as e:
+        return _json_error(400, str(e))
+
+    profile = parse_eq_string(path.read_text(encoding="utf-8"))
+    freqs = np.geomspace(10.0, sample_rate / 2.0, points)
+    resp = profile_response(profile, freqs, sample_rate)
+    mag_db = 20.0 * np.log10(np.maximum(np.abs(resp), 1e-12))
+    return web.json_response({
+        "name": name,
+        "sample_rate": sample_rate,
+        "preamp_db": profile.preamp_db,
+        "band_count": profile.active_band_count,
+        "frequencies_hz": [round(float(f), 2) for f in freqs],
+        "magnitude_db": [round(float(m), 3) for m in mag_db],
+    })
+
+
 async def _read_upload(request: web.Request) -> tuple[str, bytes]:
     reader = await request.multipart()
     async for part in reader:
@@ -479,6 +524,7 @@ def create_app(
     for prefix in ("", "/api"):
         r.add_get(f"{prefix}/eq/profiles", eq_profiles)
         r.add_get(f"{prefix}/eq/active", eq_active)
+        r.add_get(f"{prefix}/eq/response", eq_response_curve)
         r.add_post(f"{prefix}/eq/validate", eq_validate)
         r.add_post(f"{prefix}/eq/import", eq_import)
         r.add_post(f"{prefix}/eq/import-text", eq_import_text)
