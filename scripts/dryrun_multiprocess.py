@@ -13,9 +13,17 @@ validated.  (tests/test_multiprocess.py wires this into the suite.)
 
 from __future__ import annotations
 
+import pathlib
 import subprocess
 import sys
 import time
+
+# Run as a script path (`python scripts/dryrun_multiprocess.py`), sys.path[0]
+# is scripts/, not the repo root — pin the root so totton_tpu imports without
+# an installed package or PYTHONPATH.
+_ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 PORT = 19881
 N_PROC = 2
