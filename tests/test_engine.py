@@ -161,3 +161,83 @@ class TestSelector:
         with pytest.raises(FilterSelectionError, match="not found"):
             resolve_filter_path(filter_dir=str(filter_dir), ratio=8,
                                 input_rate=44100)
+
+
+class TestSwapFade:
+    """Click-free filter/EQ hot-swap crossfade (beyond reference: its RELOAD
+    restarts the container, so a swap is always a hard gap)."""
+
+    def _engine(self, coefficients_dir, fade):
+        lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        return StreamingUpsampler(lf, channels=1, swap_fade_frames=fade)
+
+    def test_fade_ramps_between_filters(self, coefficients_dir, rng):
+        eng = self._engine(coefficients_dir, fade=4096)
+        x = rng.normal(size=(1, eng.block_input_frames)).astype(np.float32) * 0.3
+        y_before = eng.process_block(x)
+        eng.set_eq(np.full(eng.config.n_bins, 0.5))  # -6 dB broadband
+        y_fade = eng.process_block(x)
+        # During the ramp the output moves from old (1.0x) to new (0.5x);
+        # after the ramp it is exactly the new filter's output.
+        eng2 = self._engine(coefficients_dir, fade=0)
+        eng2.process_block(x)
+        eng2.set_eq(np.full(eng2.config.n_bins, 0.5))
+        y_new = eng2.process_block(x)
+        np.testing.assert_allclose(
+            y_fade[:, 4096:], y_new[:, 4096:], rtol=1e-5, atol=1e-7
+        )
+        # First faded sample is ~the old output (ramp starts at 1/n new).
+        y_old_ref = 2.0 * y_new  # new is exactly 0.5 * old
+        mid = y_fade[0, :4096]
+        lo = np.minimum(y_new[0, :4096], y_old_ref[0, :4096]) - 1e-6
+        hi = np.maximum(y_new[0, :4096], y_old_ref[0, :4096]) + 1e-6
+        assert np.all(mid >= lo) and np.all(mid <= hi)
+        assert y_before.shape == y_fade.shape
+
+    def test_abrupt_when_disabled(self, coefficients_dir, rng):
+        eng = self._engine(coefficients_dir, fade=0)
+        x = rng.normal(size=(1, eng.block_input_frames)).astype(np.float32)
+        y1 = eng.process_block(x)
+        eng.set_eq(np.full(eng.config.n_bins, 0.5))
+        y2 = eng.process_block(x)
+        assert not np.allclose(y2[:, :64], 0.75 * y1[:, :64] + 0.25 * y2[:, :64])
+
+    def test_multiple_swaps_fade_from_last_heard(self, coefficients_dir, rng):
+        eng = self._engine(coefficients_dir, fade=512)
+        x = rng.normal(size=(1, eng.block_input_frames)).astype(np.float32) * 0.3
+        eng.process_block(x)
+        eng.set_eq(np.full(eng.config.n_bins, 0.5))
+        eng.set_eq(np.full(eng.config.n_bins, 0.25))  # second swap, no dispatch between
+        y = eng.process_block(x)
+        # Fade must start from the ORIGINAL (unity) spectrum, not the
+        # intermediate 0.5 one: the first faded sample (ramp 1/512) is much
+        # closer to the unity-filter output than to the 0.25x one.
+        eng_u = self._engine(coefficients_dir, fade=0)
+        eng_u.process_block(x)
+        y_u = eng_u.process_block(x)
+        d_unity = abs(y[0, 0] - y_u[0, 0])
+        d_quarter = abs(y[0, 0] - 0.25 * y_u[0, 0])
+        assert d_unity < d_quarter
+
+    def test_reset_clears_pending_fade(self, coefficients_dir, rng):
+        eng = self._engine(coefficients_dir, fade=512)
+        x = rng.normal(size=(1, eng.block_input_frames)).astype(np.float32)
+        eng.process_block(x)
+        eng.set_eq(np.full(eng.config.n_bins, 0.5))
+        eng.reset()
+        y = eng.process_block(x)
+        eng2 = self._engine(coefficients_dir, fade=0)
+        eng2.set_eq(np.full(eng2.config.n_bins, 0.5))
+        y_ref = eng2.process_block(x)
+        np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-7)
+
+    def test_geometry_change_skips_fade(self, coefficients_dir, rng):
+        lf2 = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        lf16 = load_filter(next(coefficients_dir.glob("filter_44k_16x_*.json")))
+        eng = StreamingUpsampler(lf2, channels=1, swap_fade_frames=512)
+        x = rng.normal(size=(1, eng.block_input_frames)).astype(np.float32)
+        eng.process_block(x)
+        eng.load_filter(lf16)  # different geometry -> clean restart
+        x16 = rng.normal(size=(1, eng.block_input_frames)).astype(np.float32)
+        y = eng.process_block(x16)
+        assert y.shape == (1, eng.config.block_size)

@@ -24,6 +24,7 @@ from totton_tpu.io.negotiation import (
 )
 from totton_tpu.io.pcm import (
     PcmFormat,
+    TpdfDitherer,
     deinterleave,
     float_to_pcm,
     interleave,
@@ -203,3 +204,78 @@ class TestDevices:
         assert isinstance(open_sink("null", 44100), NullSink)
         devices = list_devices()
         assert {"playback", "capture"} <= devices.keys()
+
+
+class TestDither:
+    """TPDF output dither (beyond reference: its float->int conversion only
+    clamps and truncates, src/alsa/alsa_common.cpp:87-127)."""
+
+    def test_default_path_unchanged(self, rng):
+        x = rng.uniform(-1, 1, 4096).astype(np.float32)
+        assert float_to_pcm(x, PcmFormat.S16_LE) == float_to_pcm(
+            x, PcmFormat.S16_LE, ditherer=None
+        )
+
+    def test_sub_lsb_signal_survives(self, rng):
+        # A constant 0.4-LSB signal truncates to silence undithered; TPDF
+        # dither + rounding preserves its mean level.
+        lsb = 1.0 / PcmFormat.S16_LE.scale
+        x = np.full(200_000, 0.4 * lsb, dtype=np.float32)
+        plain = np.frombuffer(float_to_pcm(x, PcmFormat.S16_LE), "<i2")
+        assert np.all(plain == 0)
+        d = TpdfDitherer(seed=1)
+        vals = np.frombuffer(d.quantize(x, PcmFormat.S16_LE), "<i2")
+        assert abs(vals.mean() - 0.4) < 0.01
+        # Per-sample error is bounded by the 1-LSB noise + 0.5 rounding.
+        assert np.max(np.abs(vals - 0.4)) <= 1.5 + 1e-6
+
+    def test_error_white_not_correlated(self, rng):
+        # Quantization error of a slow ramp should be decorrelated from the
+        # signal (undithered truncation error is a sawtooth tracking it).
+        lsb = 1.0 / PcmFormat.S16_LE.scale
+        x = (np.linspace(0, 64, 500_000) * lsb).astype(np.float32)
+        d = TpdfDitherer(seed=2)
+        vals = np.frombuffer(d.quantize(x, PcmFormat.S16_LE), "<i2")
+        err = vals - x / lsb
+        ramp = x / lsb - np.mean(x / lsb)
+        corr = abs(np.dot(err - err.mean(), ramp)) / (
+            np.linalg.norm(err - err.mean()) * np.linalg.norm(ramp)
+        )
+        assert corr < 0.01
+
+    def test_streaming_draws_fresh_noise(self):
+        d = TpdfDitherer(seed=3)
+        x = np.full(1000, 0.3 / PcmFormat.S16_LE.scale, dtype=np.float32)
+        a = d.quantize(x, PcmFormat.S16_LE)
+        b = d.quantize(x, PcmFormat.S16_LE)
+        assert a != b  # stateful RNG advances between blocks
+        assert (
+            TpdfDitherer(seed=3).quantize(x, PcmFormat.S16_LE) == a
+        )  # seeded reproducibility
+
+    def test_full_scale_clamped(self):
+        for fmt in PcmFormat:
+            d = TpdfDitherer(seed=4)
+            x = np.array([1.5, -1.5, 1.0, -1.0], dtype=np.float32)
+            raw = d.quantize(np.tile(x, 100), fmt)
+            hi = int(fmt.scale) - 1
+            if fmt is PcmFormat.S16_LE:
+                vals = np.frombuffer(raw, "<i2").astype(np.int64)
+            elif fmt is PcmFormat.S32_LE:
+                vals = np.frombuffer(raw, "<i4").astype(np.int64)
+            else:
+                tri = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+                vals = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+                vals = np.where(vals & 0x00800000, vals - (1 << 24), vals)
+            assert vals.max() <= hi and vals.min() >= -int(fmt.scale)
+
+    def test_sink_integration(self, tmp_path, rng):
+        x = rng.uniform(-0.5, 0.5, (2, 4096)).astype(np.float32)
+        sink = open_sink(str(tmp_path / "d.wav"), 44100, PcmFormat.S16_LE,
+                         dither=True)
+        sink.write_frames(x)
+        sink.close()
+        got, rate = read_wav(str(tmp_path / "d.wav"))
+        assert rate == 44100
+        lsb = 1.0 / PcmFormat.S16_LE.scale
+        assert np.max(np.abs(got - x)) <= 1.6 * lsb

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buffer", type=int, default=None,
                    help="buffer frames (default period*4)")
     p.add_argument("--eq-profile", help="Equalizer-APO profile to bake in")
+    p.add_argument("--dither", action="store_true",
+                   help="TPDF-dither the float->PCM output quantization "
+                        "(recommended for s16/s24 output)")
+    p.add_argument("--swap-fade", type=int, default=4096, metavar="FRAMES",
+                   help="crossfade length (output frames) for live filter/EQ "
+                        "hot-swaps — click-free RELOAD (0 = abrupt swap)")
     p.add_argument("--crossfeed",
                    help="crossfeed filter JSON (4-channel LL/LR/RL/RR set) "
                         "applied after upsampling")
@@ -158,7 +164,8 @@ def main(argv: list[str] | None = None) -> int:
               f"{engine.block_input_frames} input frames", file=sys.stderr)
     else:
         engine = StreamingUpsampler(loaded, channels=source.channels,
-                                    eq_response=eq_response)
+                                    eq_response=eq_response,
+                                    swap_fade_frames=args.swap_fade)
     if args.crossfeed:
         from totton_tpu.engine.chain import CrossfeedChain
         from totton_tpu.engine.crossfeed import CrossfeedFilter, CrossfeedProcessor
@@ -170,7 +177,8 @@ def main(argv: list[str] | None = None) -> int:
         engine = CrossfeedChain(engine, cf)
         print(f"Crossfeed enabled: {args.crossfeed} "
               f"({cf.filter.taps} taps/channel)", file=sys.stderr)
-    sink = open_sink(out_spec, input_rate * engine.ratio, fmt)
+    sink = open_sink(out_spec, input_rate * engine.ratio, fmt,
+                     dither=args.dither)
 
     session_cls = StreamSession
     if args.threaded:

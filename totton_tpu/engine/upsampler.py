@@ -37,9 +37,12 @@ class StreamingUpsampler:
         filt: LoadedFilter,
         channels: int = 2,
         eq_response: np.ndarray | None = None,
+        swap_fade_frames: int = 0,
     ) -> None:
         if channels < 1:
             raise ValueError(f"channels must be >= 1: {channels}")
+        if swap_fade_frames < 0:
+            raise ValueError(f"swap_fade_frames must be >= 0: {swap_fade_frames}")
         self._filter = filt
         self._channels = channels
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
@@ -48,6 +51,15 @@ class StreamingUpsampler:
         )
         self._step = make_block_step(self.config)
         self._tail = jnp.zeros((channels, self.config.halo_in), jnp.float32)
+        # Click-free hot swap: fade the first swap_fade_frames OUTPUT samples
+        # of the dispatch after a same-geometry spectrum swap from the old
+        # filter's output to the new one's (0 = abrupt swap, the reference
+        # behavior — its RELOAD restarts the container, SURVEY.md §1 note).
+        # The overlap-save tail is input-domain, so the old-spectrum output
+        # is exactly reproducible with one extra dispatch; no recompile
+        # (the spectrum is a traced argument).
+        self._swap_fade_frames = swap_fade_frames
+        self._fade_from: tuple | None = None
         # Serializes hot-swap (set_eq/load_filter/reset from a control
         # thread) against the streaming thread's process_block.
         self._lock = threading.Lock()
@@ -86,6 +98,13 @@ class StreamingUpsampler:
         vulkan_streaming_upsampler.cpp:598-600)."""
         with self._lock:
             self._tail = jnp.zeros_like(self._tail)
+            self._fade_from = None
+
+    def _note_swap(self, old_spectrum: tuple) -> None:
+        """Arm the crossfade (keep the ORIGINAL pre-swap spectrum if several
+        swaps land between two dispatches — fade from what was last heard)."""
+        if self._swap_fade_frames and self._fade_from is None:
+            self._fade_from = old_spectrum
 
     def set_eq(self, eq_response: np.ndarray | None) -> None:
         """Hot-swap the EQ baked into the filter spectrum.
@@ -97,6 +116,7 @@ class StreamingUpsampler:
             self._filter.taps, self.config.fft_size, eq_response
         )
         with self._lock:
+            self._note_swap(self._spectrum)
             self._spectrum = spectrum
 
     def load_filter(
@@ -112,6 +132,11 @@ class StreamingUpsampler:
                 self._step = make_block_step(cfg)
                 self._tail = jnp.zeros((self._channels, cfg.halo_in),
                                        jnp.float32)
+                # Geometry changed: old/new outputs have different shapes,
+                # and history restarts anyway — no crossfade possible.
+                self._fade_from = None
+            else:
+                self._note_swap(self._spectrum)
             self._spectrum = spectrum
 
     # -- processing -------------------------------------------------------
@@ -133,9 +158,21 @@ class StreamingUpsampler:
                     f"input length {x.shape[1]} must be a positive multiple "
                     f"of block_input_frames {self.config.block_in}"
                 )
-            y, self._tail = self._step(
-                self._tail, jnp.asarray(x), self._spectrum
-            )
+            tail_before = self._tail
+            xj = jnp.asarray(x)
+            y, self._tail = self._step(tail_before, xj, self._spectrum)
+            fade_from, self._fade_from = self._fade_from, None
+            if fade_from is not None:
+                # One extra dispatch with the pre-swap spectrum (the tail is
+                # input-domain — identical for both), then a linear ramp
+                # old -> new over the first swap_fade_frames output samples.
+                y_old, _ = self._step(tail_before, xj, fade_from)
+                y = np.array(y)  # writable host copy
+                n = min(self._swap_fade_frames, y.shape[1])
+                ramp = (np.arange(1, n + 1, dtype=np.float32) / n)
+                y[:, :n] = (np.asarray(y_old)[:, :n] * (1.0 - ramp)
+                            + y[:, :n] * ramp)
+                return y
         return np.asarray(y)
 
 

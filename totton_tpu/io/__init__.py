@@ -13,6 +13,7 @@ from totton_tpu.io.pcm import (
     bytes_per_sample,
     pcm_to_float,
     float_to_pcm,
+    TpdfDitherer,
     interleave,
     deinterleave,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "bytes_per_sample",
     "pcm_to_float",
     "float_to_pcm",
+    "TpdfDitherer",
     "interleave",
     "deinterleave",
     "PcmFormatSet",

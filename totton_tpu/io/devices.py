@@ -22,7 +22,14 @@ import sys
 import numpy as np
 
 from totton_tpu.io.formats import PcmFormatSet
-from totton_tpu.io.pcm import PcmFormat, deinterleave, float_to_pcm, interleave, pcm_to_float
+from totton_tpu.io.pcm import (
+    PcmFormat,
+    TpdfDitherer,
+    deinterleave,
+    float_to_pcm,
+    interleave,
+    pcm_to_float,
+)
 from totton_tpu.io.wav import read_wav, write_wav
 
 
@@ -129,13 +136,18 @@ class RawFileSource(AudioSource):
 
 
 class RawFileSink(AudioSink):
-    def __init__(self, path: str, fmt: PcmFormat) -> None:
+    def __init__(self, path: str, fmt: PcmFormat,
+                 ditherer: TpdfDitherer | None = None) -> None:
         self._f = open(path, "wb") if path != "-" else sys.stdout.buffer
         self._fmt = fmt
+        self._ditherer = ditherer
         self.capability = SinkCapability.unconstrained("raw")
 
     def write_frames(self, x: np.ndarray) -> None:
-        self._f.write(float_to_pcm(interleave(np.atleast_2d(x)), self._fmt))
+        self._f.write(
+            float_to_pcm(interleave(np.atleast_2d(x)), self._fmt,
+                         self._ditherer)
+        )
 
     def close(self) -> None:
         self._f.flush()
@@ -159,10 +171,12 @@ class WavFileSink(AudioSink):
     """Buffers in memory, writes the WAV on close (rate known at config)."""
 
     def __init__(self, path: str, sample_rate: int,
-                 fmt: PcmFormat = PcmFormat.S24_3LE) -> None:
+                 fmt: PcmFormat = PcmFormat.S24_3LE,
+                 ditherer: TpdfDitherer | None = None) -> None:
         self._path = path
         self._rate = sample_rate
         self._fmt = fmt
+        self._ditherer = ditherer
         self._chunks: list[np.ndarray] = []
         self.capability = SinkCapability.unconstrained("wav")
 
@@ -175,7 +189,7 @@ class WavFileSink(AudioSink):
             if self._chunks
             else np.zeros((2, 0), np.float32)
         )
-        write_wav(self._path, data, self._rate, self._fmt)
+        write_wav(self._path, data, self._rate, self._fmt, self._ditherer)
 
 
 class LoopbackPair:
@@ -238,12 +252,14 @@ def open_sink(
     spec: str,
     sample_rate: int,
     fmt: PcmFormat = PcmFormat.S32_LE,
+    dither: bool = False,
 ) -> AudioSink:
+    ditherer = TpdfDitherer() if dither else None
     if spec == "null":
         return NullSink()
     if spec.startswith("wav:"):
-        return WavFileSink(spec[4:], sample_rate, fmt)
+        return WavFileSink(spec[4:], sample_rate, fmt, ditherer)
     if spec.endswith(".wav"):
-        return WavFileSink(spec, sample_rate, fmt)
+        return WavFileSink(spec, sample_rate, fmt, ditherer)
     path = spec[5:] if spec.startswith("file:") else spec
-    return RawFileSink(path, fmt)
+    return RawFileSink(path, fmt, ditherer)

@@ -79,9 +79,34 @@ def pcm_to_float(data: bytes | np.ndarray, fmt: PcmFormat) -> np.ndarray:
     return ints * np.float32(1.0 / fmt.scale)
 
 
-def float_to_pcm(x: np.ndarray, fmt: PcmFormat) -> bytes:
-    """float32 samples -> raw interleaved PCM bytes, with clamping."""
+def _pack_ints(vals: np.ndarray, fmt: PcmFormat) -> bytes:
+    """Clip int64 sample values to the format's range and pack little-endian."""
+    if fmt is PcmFormat.S16_LE:
+        vals = np.clip(vals, -(1 << 15), (1 << 15) - 1)
+        return vals.astype("<i2").tobytes()
+    if fmt is PcmFormat.S32_LE:
+        vals = np.clip(vals, -(1 << 31), (1 << 31) - 1)
+        return vals.astype("<i4").tobytes()
+    vals = np.clip(vals, -(1 << 23), (1 << 23) - 1).astype(np.int32)
+    out = np.empty((len(vals), 3), dtype=np.uint8)
+    out[:, 0] = vals & 0xFF
+    out[:, 1] = (vals >> 8) & 0xFF
+    out[:, 2] = (vals >> 16) & 0xFF
+    return out.tobytes()
+
+
+def float_to_pcm(
+    x: np.ndarray, fmt: PcmFormat, ditherer: "TpdfDitherer | None" = None
+) -> bytes:
+    """float32 samples -> raw interleaved PCM bytes, with clamping.
+
+    Without a ditherer this is bit-exact with the reference's C cast
+    (truncation toward zero, alsa_common.cpp:87-127). With one, samples are
+    TPDF-dithered and rounded to nearest — see TpdfDitherer.
+    """
     x = np.asarray(x, dtype=np.float32).ravel()
+    if ditherer is not None:
+        return ditherer.quantize(x, fmt)
     native = _native.float_to_pcm(x, fmt)
     if native is not None:
         return native
@@ -89,19 +114,39 @@ def float_to_pcm(x: np.ndarray, fmt: PcmFormat) -> bytes:
     scaled = clamped * np.float32(fmt.scale)
     if fmt is PcmFormat.S16_LE:
         return scaled.astype("<i2").tobytes()
-    if fmt is PcmFormat.S32_LE:
-        # float32 * 2^31 can round up to 2^31 (unrepresentable); match the
-        # C cast-to-int behavior by clipping at the integer edge in int64.
-        vals = np.clip(scaled.astype(np.int64), -(1 << 31), (1 << 31) - 1)
-        return vals.astype("<i4").tobytes()
-    vals = np.clip(scaled.astype(np.int64), -(1 << 23), (1 << 23) - 1).astype(
-        np.int32
-    )
-    out = np.empty((len(vals), 3), dtype=np.uint8)
-    out[:, 0] = vals & 0xFF
-    out[:, 1] = (vals >> 8) & 0xFF
-    out[:, 2] = (vals >> 16) & 0xFF
-    return out.tobytes()
+    # float32 * 2^31 can round up to 2^31 (unrepresentable); match the
+    # C cast-to-int behavior by clipping at the integer edge in int64.
+    return _pack_ints(scaled.astype(np.int64), fmt)
+
+
+class TpdfDitherer:
+    """Stateful TPDF dither for float -> PCM quantization.
+
+    The engine's signal path is float32 (>130 dB SNR); truncating that to
+    s16/s24 without dither leaves quantization distortion correlated with the
+    signal. Adding triangular noise of +-1 LSB before round-to-nearest
+    converts it to a benign, signal-independent noise floor — standard
+    mastering practice the reference omits (its float->int conversion only
+    clamps and truncates, src/alsa/alsa_common.cpp:87-127).
+
+    Stateful so successive stream blocks draw fresh noise; a fixed seed gives
+    reproducible output for tests.
+    """
+
+    def __init__(self, seed: int | None = None) -> None:
+        self._rng = np.random.default_rng(seed)
+
+    def quantize(self, x: np.ndarray, fmt: PcmFormat) -> bytes:
+        x = np.asarray(x, dtype=np.float32).ravel()
+        clamped = np.clip(x, np.float32(-1.0), np.float32(fmt.clamp_hi))
+        # float64 scaling: float32 can't represent odd integers near 2^31,
+        # which would double-quantize the s32 path.
+        scaled = clamped.astype(np.float64) * fmt.scale
+        noise = (self._rng.random(len(scaled))
+                 + self._rng.random(len(scaled)) - 1.0)
+        # round-to-nearest with TPDF noise: floor(v + n + 0.5)
+        vals = np.floor(scaled + noise + 0.5).astype(np.int64)
+        return _pack_ints(vals, fmt)
 
 
 def deinterleave(x: np.ndarray, channels: int) -> np.ndarray:

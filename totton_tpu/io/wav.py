@@ -11,7 +11,14 @@ import wave
 
 import numpy as np
 
-from totton_tpu.io.pcm import PcmFormat, deinterleave, float_to_pcm, interleave, pcm_to_float
+from totton_tpu.io.pcm import (
+    PcmFormat,
+    TpdfDitherer,
+    deinterleave,
+    float_to_pcm,
+    interleave,
+    pcm_to_float,
+)
 
 _WIDTH_TO_FORMAT = {2: PcmFormat.S16_LE, 3: PcmFormat.S24_3LE, 4: PcmFormat.S32_LE}
 
@@ -34,6 +41,7 @@ def write_wav(
     x: np.ndarray,
     sample_rate: int,
     fmt: PcmFormat = PcmFormat.S24_3LE,
+    ditherer: TpdfDitherer | None = None,
 ) -> None:
     """Write float32 [channels, n] to a PCM WAV file."""
     x = np.atleast_2d(np.asarray(x, dtype=np.float32))
@@ -41,4 +49,4 @@ def write_wav(
         w.setnchannels(x.shape[0])
         w.setsampwidth(fmt.bytes)
         w.setframerate(sample_rate)
-        w.writeframes(float_to_pcm(interleave(x), fmt))
+        w.writeframes(float_to_pcm(interleave(x), fmt, ditherer))
