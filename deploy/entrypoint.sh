@@ -42,6 +42,7 @@ RATE="${TOTTON_RATE:-$(cfg "c['alsa']['sampleRate']" 44100)}"
 CHANNELS="${TOTTON_CHANNELS:-$(cfg "c['alsa']['channels']" 2)}"
 FORMAT="${TOTTON_FORMAT:-$(cfg "c['alsa']['format']" S32_LE)}"
 PERIOD="${TOTTON_PERIOD:-$(cfg "c['alsa']['periodFrames']" 4096)}"
+DITHER="${TOTTON_DITHER:-$(cfg "c['alsa'].get('dither')" false)}"
 RATIO="${TOTTON_RATIO:-$(cfg "c['filter']['ratio']" 2)}"
 PHASE="${TOTTON_PHASE:-$(cfg "c['filter']['phaseType']" minimum)}"
 FILTER_DIR="${TOTTON_FILTER_DIR:-$(cfg "c['filter']['directory']" /opt/totton-tpu/data/coefficients)}"
@@ -66,7 +67,8 @@ start_stream() {  # $1: extra args (e.g. --control-endpoint ...)
   totton-stream --in "$IN_DEV" --out "$OUT_DEV" \
     --rate "$RATE" --channels "$CHANNELS" --format "$FORMAT" \
     --period "$PERIOD" --ratio "$RATIO" --phase "$PHASE" \
-    --filter-dir "$FILTER_DIR" --stats-path "$STATS_PATH" ${1:-} &
+    --filter-dir "$FILTER_DIR" --stats-path "$STATS_PATH" \
+    $([ "${DITHER,,}" = "true" ] && echo --dither) ${1:-} &
   PIDS+=("$!")
 }
 

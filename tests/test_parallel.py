@@ -116,3 +116,49 @@ class TestShardedStreaming:
         sharded.reset()
         y3 = sharded.process_block(x)
         np.testing.assert_array_equal(y1, y3)
+
+
+class TestShardedSwapFade:
+    def test_faded_swap_matches_single_device(self, small_filter, rng):
+        """A crossfaded EQ swap on the sharded engine must equal the
+        single-device engine's faded output (same ramp, same junction)."""
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=4)
+        fade = 256
+        sharded = ShardedUpsampler(lf, mesh, channels=2,
+                                   swap_fade_frames=fade)
+        single = StreamingUpsampler(lf, channels=2, swap_fade_frames=fade)
+        step_in = sharded.block_input_frames
+        # Feed the single-device engine the same per-step granule.
+        x1 = rng.normal(size=(2, step_in)).astype(np.float32) * 0.3
+        x2 = rng.normal(size=(2, step_in)).astype(np.float32) * 0.3
+        np.testing.assert_allclose(sharded.process_block(x1),
+                                   single.process_block(x1),
+                                   rtol=1e-5, atol=1e-7)
+        eq = np.full(sharded.config.n_bins, 0.5, np.float64)
+        sharded.set_eq(eq)
+        single.set_eq(eq)
+        y_s = sharded.process_block(x2)
+        y_1 = single.process_block(x2)
+        np.testing.assert_allclose(y_s, y_1, rtol=1e-4, atol=1e-6)
+        # And the fade actually happened: first sample is far from the pure
+        # new-spectrum output.
+        fresh = StreamingUpsampler(lf, channels=2)
+        fresh.process_block(x1)
+        fresh.set_eq(eq)
+        y_new = fresh.process_block(x2)
+        assert abs(y_s[0, 0] - y_new[0, 0]) > abs(y_s[0, 0] - 2 * y_new[0, 0])
+
+    def test_reset_clears_fade(self, small_filter, rng):
+        mesh = make_mesh(n_channel=1, n_time=4)
+        sharded = ShardedUpsampler(lf := small_filter, mesh, channels=2,
+                                   swap_fade_frames=128)
+        x = rng.normal(size=(2, sharded.block_input_frames)).astype(np.float32)
+        sharded.process_block(x)
+        sharded.set_eq(np.full(sharded.config.n_bins, 0.5))
+        sharded.reset()
+        y = sharded.process_block(x)
+        ref = ShardedUpsampler(lf, mesh, channels=2)
+        ref.set_eq(np.full(ref.config.n_bins, 0.5))
+        np.testing.assert_allclose(y, ref.process_block(x), rtol=1e-5,
+                                   atol=1e-7)

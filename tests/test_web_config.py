@@ -89,3 +89,13 @@ def test_save_preserves_unknown_fields(cfg_path):
     save_config(Settings())
     raw = json.loads(cfg_path.read_text())
     assert raw["customField"] == 42
+
+
+def test_dither_round_trip(cfg_path):
+    from totton_tpu.web.services.config import AlsaSettings
+
+    save_config(Settings(alsa=AlsaSettings(format="S16_LE", dither=True)))
+    s = load_config()
+    assert s.alsa.dither is True
+    raw = json.loads(cfg_path.read_text())
+    assert raw["alsa"]["dither"] is True

@@ -159,7 +159,8 @@ def main(argv: list[str] | None = None) -> int:
 
         mesh = make_mesh(n_channel=args.shard_channel, n_time=args.shard_time)
         engine = ShardedUpsampler(loaded, mesh, channels=source.channels,
-                                  eq_response=eq_response)
+                                  eq_response=eq_response,
+                                  swap_fade_frames=args.swap_fade)
         print(f"Sharded engine: mesh {dict(mesh.shape)}, dispatch granule "
               f"{engine.block_input_frames} input frames", file=sys.stderr)
     else:

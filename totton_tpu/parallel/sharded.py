@@ -143,7 +143,17 @@ class ShardedUpsampler:
         mesh: Mesh,
         channels: int = 2,
         eq_response: np.ndarray | None = None,
+        swap_fade_frames: int = 0,
     ) -> None:
+        if swap_fade_frames < 0:
+            raise ValueError(
+                f"swap_fade_frames must be >= 0: {swap_fade_frames}")
+        # Click-free hot swap, same contract as StreamingUpsampler: fade the
+        # first swap_fade_frames output samples of the step after a spectrum
+        # swap from old to new (the fade window lives at the start of time
+        # shard 0, where this step's output meets the previous step's).
+        self._swap_fade_frames = swap_fade_frames
+        self._fade_from = None
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
         self.mesh = mesh
         self._filter = filt
@@ -211,12 +221,20 @@ class ShardedUpsampler:
     def reset(self) -> None:
         with self._lock:
             self._tail = jnp.zeros_like(self._tail)
+            self._fade_from = None
+
+    def _note_swap(self, old_spectrum) -> None:
+        """Arm the crossfade (keep the ORIGINAL pre-swap spectrum if several
+        swaps land between two steps)."""
+        if self._swap_fade_frames and self._fade_from is None:
+            self._fade_from = old_spectrum
 
     def set_eq(self, eq_response: np.ndarray | None) -> None:
         spectrum = filter_spectrum(
             self._filter.taps, self.config.fft_size, eq_response
         )
         with self._lock:
+            self._note_swap(self._spectrum)
             self._spectrum = spectrum
 
     def load_filter(
@@ -232,6 +250,7 @@ class ShardedUpsampler:
                     "sharded engine filter swap requires identical "
                     f"overlap-save geometry (have {self.config}, new {cfg})"
                 )
+            self._note_swap(self._spectrum)
             self._spectrum = spectrum
 
     def _put(self, x: np.ndarray):
@@ -302,5 +321,19 @@ class ShardedUpsampler:
             )
         _check_shapes(self.config, self.mesh, x.shape[0], global_t)
         with self._lock:
-            y, self._tail = self._step(self._tail, xs, self._spectrum)
-        return self._local_output(y)
+            tail_before = self._tail
+            y, self._tail = self._step(tail_before, xs, self._spectrum)
+            fade_from, self._fade_from = self._fade_from, None
+            y_old = (self._step(tail_before, xs, fade_from)[0]
+                     if fade_from is not None else None)
+        out = self._local_output(y)
+        if y_old is not None and (not self._local_time_cols
+                                  or self._local_time_cols[0] == 0):
+            # The swap junction is global output position 0 of this step;
+            # only the process owning time column 0 holds that span.
+            old = self._local_output(y_old)
+            n = min(self._swap_fade_frames, out.shape[1])
+            ramp = np.arange(1, n + 1, dtype=np.float32) / n
+            out = np.array(out)
+            out[:, :n] = old[:, :n] * (1.0 - ramp) + out[:, :n] * ramp
+        return out

@@ -91,6 +91,7 @@ _EN = {
     "settings.format": "PCM format",
     "settings.period": "Period frames",
     "settings.buffer": "Buffer frames",
+    "settings.dither": "TPDF dither (s16/s24 output)",
     "settings.filter": "Filter",
     "settings.ratio": "Upsample ratio",
     "settings.phase_type": "Phase type",
@@ -180,6 +181,7 @@ _JA = {
     "settings.format": "PCMフォーマット",
     "settings.period": "ピリオドフレーム",
     "settings.buffer": "バッファフレーム",
+    "settings.dither": "TPDFディザ（s16/s24出力）",
     "settings.filter": "フィルタ",
     "settings.ratio": "アップサンプリング比",
     "settings.phase_type": "位相タイプ",

@@ -39,6 +39,7 @@ class AlsaSettings:
     format: str | None = None
     period_frames: int | None = None
     buffer_frames: int | None = None
+    dither: bool | None = None
 
 
 @dataclasses.dataclass
@@ -106,6 +107,7 @@ def load_config(path: Path | None = None) -> Settings:
         "format": alsa_value("format", "alsaFormat"),
         "period_frames": alsa_block.get("periodFrames"),
         "buffer_frames": alsa_block.get("bufferFrames"),
+        "dither": alsa_block.get("dither"),
     }
     alsa = (
         AlsaSettings(**alsa_values)
@@ -158,6 +160,7 @@ def save_config(settings: Settings, path: Path | None = None) -> bool:
                 "format": settings.alsa.format,
                 "periodFrames": settings.alsa.period_frames,
                 "bufferFrames": settings.alsa.buffer_frames,
+                "dither": settings.alsa.dither,
             })
             existing["alsa"] = block
             for legacy in _LEGACY_ALSA_KEYS:
