@@ -279,3 +279,38 @@ class TestDither:
         assert rate == 44100
         lsb = 1.0 / PcmFormat.S16_LE.scale
         assert np.max(np.abs(got - x)) <= 1.6 * lsb
+
+
+class TestOutputMetering:
+    """StreamStats level meters (beyond reference: no signal levels in its
+    stats surface)."""
+
+    def test_known_sine_levels(self):
+        from totton_tpu.io.stream import StreamStats
+
+        st = StreamStats()
+        t = np.arange(96000, dtype=np.float64)
+        y = (0.5 * np.sin(2 * np.pi * 997 * t / 48000)).astype(np.float32)
+        st.meter_output(y.reshape(1, -1))
+        j = st.to_json()["output_level"]
+        assert abs(j["peak_dbfs"] - 20 * np.log10(0.5)) < 0.05
+        # sine RMS = A/sqrt(2) -> -9.03 dBFS at A=0.5
+        assert abs(j["rms_dbfs"] - (20 * np.log10(0.5) - 3.01)) < 0.05
+        assert j["clipped_samples"] == 0
+
+    def test_clipping_counted_and_peak_accumulates(self):
+        from totton_tpu.io.stream import StreamStats
+
+        st = StreamStats()
+        st.meter_output(np.full((2, 100), 0.25, np.float32))
+        st.meter_output(np.array([[1.0, -1.2, 0.5, 2.0]], np.float32))
+        j = st.to_json()["output_level"]
+        assert j["clipped_samples"] == 3  # 1.0, -1.2, 2.0
+        assert abs(j["peak_dbfs"] - 20 * np.log10(2.0)) < 0.05
+
+    def test_empty_stream_levels_null(self):
+        from totton_tpu.io.stream import StreamStats
+
+        j = StreamStats().to_json()["output_level"]
+        assert j["peak_dbfs"] is None and j["rms_dbfs"] is None
+        assert j["clipped_samples"] == 0

@@ -60,6 +60,9 @@ class TestStreamSession:
         assert stats["frames_in"] == 2000
         assert stats["output_rate"] == 705600
         assert "xruns" in stats
+        level = stats["output_level"]
+        assert level["peak_dbfs"] is not None and level["peak_dbfs"] < 0
+        assert level["clipped_samples"] == 0
 
 
 @pytest.mark.parametrize("mode", ["wav", "raw"])

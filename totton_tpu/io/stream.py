@@ -43,6 +43,14 @@ class StreamStats:
     input_rate: int = 0
     output_rate: int = 0
     timer: BlockTimer = dataclasses.field(default_factory=BlockTimer)
+    # Output level metering (beyond reference: its stats surface has no
+    # signal levels at all). peak/sum-of-squares over everything emitted;
+    # clipped = samples at/over full scale BEFORE the sink's PCM clamp —
+    # the runtime complement of the toolkit's offline safe-gain calc.
+    peak_out: float = 0.0
+    sum_sq_out: float = 0.0
+    metered_samples: int = 0
+    clipped_samples: int = 0
 
     @property
     def realtime_factor(self) -> float:
@@ -51,6 +59,33 @@ class StreamStats:
         if self.process_time_s <= 0 or self.output_rate <= 0:
             return 0.0
         return (self.frames_out / self.process_time_s) / self.output_rate
+
+    def meter_output(self, y: np.ndarray) -> None:
+        """Fold one emitted batch into the level meters (~5 ns/sample)."""
+        if y.size == 0:
+            return
+        a = np.abs(y)
+        peak = float(a.max())
+        if peak > self.peak_out:
+            self.peak_out = peak
+        self.sum_sq_out += float(np.einsum("...ij,...ij->", y, y,
+                                           dtype=np.float64))
+        self.metered_samples += y.size
+        self.clipped_samples += int(np.count_nonzero(a >= 1.0))
+
+    def _level_json(self) -> dict:
+        def dbfs(power_ratio: float) -> float | None:
+            if power_ratio <= 0:
+                return None
+            return round(10.0 * np.log10(power_ratio), 2)
+
+        rms = (self.sum_sq_out / self.metered_samples
+               if self.metered_samples else 0.0)
+        return {
+            "peak_dbfs": dbfs(self.peak_out ** 2),
+            "rms_dbfs": dbfs(rms),
+            "clipped_samples": self.clipped_samples,
+        }
 
     def to_json(self) -> dict:
         return {
@@ -67,6 +102,7 @@ class StreamStats:
             "realtime_factor": self.realtime_factor,
             "process_time_s": self.process_time_s,
             "dispatch_timing": self.timer.summary(),
+            "output_level": self._level_json(),
         }
 
 
@@ -199,7 +235,9 @@ class StreamSession:
         self.stats.process_time_s += time.monotonic() - t0
         self.stats.blocks_processed += frames.shape[1] // self.engine.block_input_frames
         valid_out = valid_in_frames * self.engine.ratio
-        self.sink.write_frames(y[:, :valid_out])
+        out = y[:, :valid_out]
+        self.stats.meter_output(out)
+        self.sink.write_frames(out)
         self.stats.frames_out += valid_out
 
     def run(self, max_frames: int | None = None) -> StreamStats:
@@ -373,8 +411,9 @@ class ThreadedStreamSession:
         self.stats.blocks_processed += (
             frames.shape[1] // self.engine.block_input_frames
         )
-        flat = y[:, : valid_in * self.engine.ratio].T.ravel()
-        self._write_out(flat)
+        out = y[:, : valid_in * self.engine.ratio]
+        self.stats.meter_output(out)
+        self._write_out(out.T.ravel())
 
     def _write_out(self, flat: np.ndarray) -> None:
         """Backpressured output-ring write in whatever-fits chunks.

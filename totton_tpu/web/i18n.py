@@ -34,6 +34,8 @@ _EN = {
     "status.xruns": "XRUNs",
     "status.uptime": "Uptime",
     "status.reloads": "Reloads",
+    "status.level": "Peak / RMS",
+    "status.clipped": "Clipped samples",
     "status.refresh": "Refresh",
     # DSP controls
     "dsp.title": "DSP controls",
@@ -130,6 +132,8 @@ _JA = {
     "status.xruns": "XRUN数",
     "status.uptime": "稼働時間",
     "status.reloads": "リロード回数",
+    "status.level": "ピーク / RMS",
+    "status.clipped": "クリップサンプル数",
     "status.refresh": "更新",
     "dsp.title": "DSP操作",
     "dsp.phase_minimum": "最小位相",
