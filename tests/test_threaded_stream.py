@@ -130,8 +130,13 @@ def test_low_latency_dispatch_quantized_to_warmed_shapes():
         assert _quantize_nblocks(ready, 8, low_latency=True) == 1
     for ready in (8, 9, 100):
         assert _quantize_nblocks(ready, 8, low_latency=True) == 8
-    # Offline sources dispatch what they have (EOF flush path).
-    assert _quantize_nblocks(3, 8, low_latency=False) == 3
+    # Offline EOF remainders quantize DOWN to powers of two so the shape
+    # universe is {1, 2, 4, ..., max} — one-time compiles under the
+    # persistent XLA cache regardless of input file length.
+    assert _quantize_nblocks(3, 8, low_latency=False) == 2
+    assert _quantize_nblocks(353, 512, low_latency=False) == 256
+    assert _quantize_nblocks(1, 8, low_latency=False) == 1
+    assert _quantize_nblocks(8, 8, low_latency=False) == 8
     assert _quantize_nblocks(100, 8, low_latency=False) == 8
 
 

@@ -29,3 +29,38 @@ if _os.environ.get("TOTTON_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["TOTTON_PLATFORM"])
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Default-on persistent XLA compilation cache.
+
+    TPU compiles of the production dispatch shapes take O(minutes) through
+    a remote runtime; the cache makes every shape a one-time cost across
+    ALL processes (CLI one-shots included). TOTTON_COMPILE_CACHE: unset/1 =
+    default path (~/.cache/totton_tpu/jax), a path = that directory,
+    0/off = disabled. Set via env (not jax.config) so importing totton_tpu
+    stays jax-import-free for control/web-only processes.
+    """
+    val = _os.environ.get("TOTTON_COMPILE_CACHE", "1")
+    if val.lower() in ("0", "off", "false", ""):
+        return
+    path = val if val.lower() not in ("1", "on", "true") else _os.path.join(
+        _os.path.expanduser("~"), ".cache", "totton_tpu", "jax")
+    try:
+        _os.makedirs(path, exist_ok=True)
+    except OSError:
+        return
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    import sys as _sys
+
+    if "jax" in _sys.modules:
+        # Too late for the env var: jax reads it at import, and some TPU
+        # runtimes (the axon sitecustomize here) import jax before any
+        # user code runs. The config API works post-import.
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+
+_enable_persistent_compile_cache()

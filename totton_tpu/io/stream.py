@@ -160,13 +160,20 @@ def _quantize_nblocks(ready: int, max_batch_blocks: int,
     ({1, max_batch_blocks}): a backlog of 2..max-1 blocks (one slow
     tunneled dispatch while the feeder kept reading) would otherwise jit a
     fresh batch shape mid-stream — minutes of stalled audio, the exact
-    failure warm-up exists to prevent. Offline sources dispatch whatever
-    has accumulated (their threshold already equals max_batch_blocks, so
-    a non-max shape occurs at most once, at EOF flush).
+    failure warm-up exists to prevent.
+
+    Offline sources accumulate to exactly max_batch_blocks in steady state;
+    a smaller `ready` occurs only at EOF flush. That remainder is quantized
+    DOWN to a power of two (the loop re-dispatches until drained), so the
+    universe of jitted shapes is {1, 2, 4, ..., max_batch_blocks} for every
+    input length — each a one-time compile under the persistent XLA cache
+    instead of a fresh multi-minute compile per distinct file length.
     """
-    if low_latency and ready < max_batch_blocks:
-        return 1
-    return min(ready, max_batch_blocks)
+    if low_latency:
+        return max_batch_blocks if ready >= max_batch_blocks else 1
+    if ready >= max_batch_blocks:
+        return max_batch_blocks
+    return 1 << (ready.bit_length() - 1)
 
 
 class StreamSession:
