@@ -64,10 +64,13 @@ start_control() {
 
 start_stream() {  # $1: extra args (e.g. --control-endpoint ...)
   # shellcheck disable=SC2086
+  # --config: the streamer re-reads eqEnabled/eqProfilePath from config.json
+  # on every RELOAD, so web EQ apply/activate reaches the live engine.
   totton-stream --in "$IN_DEV" --out "$OUT_DEV" \
     --rate "$RATE" --channels "$CHANNELS" --format "$FORMAT" \
     --period "$PERIOD" --ratio "$RATIO" --phase "$PHASE" \
     --filter-dir "$FILTER_DIR" --stats-path "$STATS_PATH" \
+    --config "$CONFIG_PATH" \
     $([ "${DITHER,,}" = "true" ] && echo --dither) ${1:-} &
   PIDS+=("$!")
 }

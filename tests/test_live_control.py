@@ -22,6 +22,77 @@ def phase_filter_dir(tmp_path_factory):
     return out
 
 
+def _wait_ping(client, proc, deadline_s=60):
+    deadline = time.monotonic() + deadline_s
+    while time.monotonic() < deadline:
+        if client.ping():
+            return
+        time.sleep(0.2)
+    proc.kill()
+    pytest.fail(f"streamer never served PING: {proc.stdout.read()}")
+
+
+def test_config_eq_tracked_across_reload(phase_filter_dir, tmp_path):
+    """The web 'apply EQ -> RELOAD' flow (reference SURVEY.md §3.4): the
+    streamer re-reads config.json's eqEnabled/eqProfilePath on every
+    RELOAD, so activating / switching / disabling an EQ profile reaches
+    the live engine without a restart."""
+    import json
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({"eqEnabled": False}))
+    profile = tmp_path / "boost.txt"
+    profile.write_text("Preamp: -3 dB\nFilter 1: ON PK Fc 1000 Hz Gain 3 dB Q 1.0\n")
+
+    endpoint = f"ipc://{tmp_path}/cfg_eq.sock"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.stream",
+         "--in", "null", "--out", "null", "--rate", "352800",
+         "--ratio", "2", "--filter-dir", str(phase_filter_dir),
+         "--config", str(cfg),
+         "--control-endpoint", endpoint,
+         "--duration", "120"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        client = DaemonClient(endpoint=endpoint, timeout_ms=15000)
+        _wait_ping(client, proc)
+
+        # Activate the profile the way the web layer does: edit config.json,
+        # then RELOAD.
+        cfg.write_text(json.dumps({
+            "eqEnabled": True,
+            "eqProfile": "boost",
+            "eqProfilePath": str(profile),
+        }))
+        assert client.reload_config().ok
+
+        # Point at a missing file: reload must survive and drop the EQ.
+        cfg.write_text(json.dumps({
+            "eqEnabled": True,
+            "eqProfilePath": str(tmp_path / "gone.txt"),
+        }))
+        assert client.reload_config().ok
+
+        # Disable: reload goes back to the clean filter.
+        cfg.write_text(json.dumps({"eqEnabled": False}))
+        assert client.reload_config().ok
+
+        assert client.shutdown().ok
+        assert proc.wait(timeout=60) == 0
+        out = proc.stdout.read()
+        assert "+ EQ" in out and "boost.txt" in out
+        assert "EQ skipped" in out
+        # The final reload line carries no EQ suffix.
+        last_reload = [l for l in out.splitlines()
+                       if l.startswith("Live reload:")][-1]
+        assert "+ EQ" not in last_reload and "skipped" not in last_reload
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
 def test_streamer_with_live_control(phase_filter_dir, tmp_path):
     endpoint = f"ipc://{tmp_path}/live.sock"
     proc = subprocess.Popen(

@@ -15,8 +15,10 @@ Exit codes: 0 ok, 1 runtime failure, 2 bad arguments.
 from __future__ import annotations
 
 import argparse
+import os
 import signal
 import sys
+from pathlib import Path
 
 import numpy as np
 
@@ -54,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buffer", type=int, default=None,
                    help="buffer frames (default period*4)")
     p.add_argument("--eq-profile", help="Equalizer-APO profile to bake in")
+    p.add_argument("--config", dest="config_path",
+                   default=os.environ.get("TOTTON_CONFIG_PATH"),
+                   help="config.json to track: eqEnabled/eqProfilePath are "
+                        "read at startup AND re-read on every RELOAD, so "
+                        "web-driven EQ activation reaches the live engine "
+                        "(--eq-profile overrides; default $TOTTON_CONFIG_PATH)")
     p.add_argument("--dither", action="store_true",
                    help="TPDF-dither the float->PCM output quantization "
                         "(recommended for s16/s24 output)")
@@ -144,15 +152,38 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
-    eq_response = None
-    if args.eq_profile:
-        profile = parse_eq_file(args.eq_profile)
-        eq_response = profile_response_for_fft(
-            profile, loaded.sidecar.fft_size, input_rate * loaded.ratio
-        )
-        print(f"EQ profile baked in: {args.eq_profile} "
-              f"({profile.active_band_count} active bands, "
-              f"preamp {profile.preamp_db} dB)", file=sys.stderr)
+    def resolve_eq_response(fft_size: int, output_rate: int):
+        """EQ baked into the filter spectrum: --eq-profile wins; otherwise
+        config.json's eqEnabled/eqProfilePath (the path the reference web
+        UI writes on apply/activate, SURVEY.md §3.4) — re-read on every
+        RELOAD so web-driven EQ swaps reach the live engine."""
+        eq_path = args.eq_profile
+        if not eq_path and args.config_path:
+            from totton_tpu.web.services.config import load_config
+
+            settings = load_config(Path(args.config_path))
+            if settings.eq_enabled and settings.eq_profile_path:
+                eq_path = settings.eq_profile_path
+        if not eq_path:
+            return None, None
+        profile = parse_eq_file(eq_path)
+        return profile_response_for_fft(profile, fft_size, output_rate), (
+            f"{eq_path} ({profile.active_band_count} active bands, "
+            f"preamp {profile.preamp_db} dB)")
+
+    try:
+        eq_response, eq_desc = resolve_eq_response(
+            loaded.sidecar.fft_size, input_rate * loaded.ratio)
+    except (OSError, ValueError) as e:
+        if args.eq_profile:
+            # Explicitly requested on the CLI: fail loudly.
+            print(f"error: --eq-profile: {e}", file=sys.stderr)
+            return 1
+        # Stale eqProfilePath in config.json must not block startup.
+        print(f"warning: EQ from config skipped ({e})", file=sys.stderr)
+        eq_response, eq_desc = None, None
+    if eq_desc:
+        print(f"EQ profile baked in: {eq_desc}", file=sys.stderr)
 
     if args.shard_time:
         from totton_tpu.parallel import ShardedUpsampler, make_mesh
@@ -215,15 +246,17 @@ def main(argv: list[str] | None = None) -> int:
                 filter_path=None, filter_dir=args.filter_dir, phase=phase,
                 ratio=upsampler.ratio, input_rate=input_rate,
             )
-            eq = None
-            if args.eq_profile:
-                profile = parse_eq_file(args.eq_profile)
-                eq = profile_response_for_fft(
-                    profile, upsampler.config.fft_size,
-                    input_rate * upsampler.ratio,
-                )
+            try:
+                eq, desc = resolve_eq_response(
+                    upsampler.config.fft_size, input_rate * upsampler.ratio)
+            except (OSError, ValueError) as e:
+                # A bad/missing EQ file must not take down a live stream;
+                # reload the filter clean and report.
+                print(f"Live reload: EQ skipped ({e})", file=sys.stderr)
+                eq, desc = None, None
             upsampler.load_filter(load_filter(path), eq_response=eq)
-            print(f"Live reload: {path}", file=sys.stderr)
+            print(f"Live reload: {path}"
+                  + (f" + EQ {desc}" if desc else ""), file=sys.stderr)
 
         def on_reload() -> None:
             reload_filter(current_phase["value"])
