@@ -78,6 +78,20 @@ def test_config_eq_tracked_across_reload(phase_filter_dir, tmp_path):
         cfg.write_text(json.dumps({"eqEnabled": False}))
         assert client.reload_config().ok
 
+        # RELOAD adopts config's filter.phaseType (settings-page PATCH flow).
+        cfg.write_text(json.dumps({
+            "eqEnabled": False, "filter": {"phaseType": "linear"},
+        }))
+        assert client.reload_config().ok
+        assert client.get_phase_type().data["phase_type"] == "linear"
+
+        # PHASE_TYPE_SET persists back into config.json so the next
+        # RELOAD / restart keeps it.
+        assert client.set_phase_type("minimum").ok
+        assert json.loads(cfg.read_text())["filter"]["phaseType"] == "minimum"
+        assert client.reload_config().ok
+        assert client.get_phase_type().data["phase_type"] == "minimum"
+
         assert client.shutdown().ok
         assert proc.wait(timeout=60) == 0
         out = proc.stdout.read()

@@ -259,11 +259,33 @@ def main(argv: list[str] | None = None) -> int:
                   + (f" + EQ {desc}" if desc else ""), file=sys.stderr)
 
         def on_reload() -> None:
+            # config.json is the durable truth: RELOAD adopts its
+            # filter.phaseType (the settings page PATCHes config then
+            # RELOADs), keeping the daemon's reported phase in sync.
+            if args.config_path:
+                from totton_tpu.web.services.config import load_config
+
+                settings = load_config(Path(args.config_path))
+                phase = settings.filter.phase_type if settings.filter else None
+                if phase in ("min", "minimum"):
+                    phase = "minimum"
+                if phase in ("minimum", "linear") \
+                        and phase != current_phase["value"]:
+                    current_phase["value"] = phase
+                    if daemon is not None:
+                        daemon.phase_type = phase
             reload_filter(current_phase["value"])
 
         def on_phase_change(phase: str) -> None:
             current_phase["value"] = phase
             reload_filter(phase)
+            # Persist so the next RELOAD / restart keeps this phase
+            # (the reference's PHASE_TYPE_SET silently reverts on restart).
+            if args.config_path:
+                from totton_tpu.web.services.config import save_config_updates
+
+                save_config_updates({"filter": {"phaseType": phase}},
+                                    Path(args.config_path))
 
         daemon = ControlDaemon(
             endpoint=args.control_endpoint,
