@@ -199,6 +199,8 @@ async def test_opra_browse_and_apply(client, web_env):
 
 async def test_opra_missing_ids_404(client):
     assert (await client.get("/opra/product/zzz")).status == 404
+    # Reference path shape (plural) resolves to the same handler.
+    assert (await client.get("/opra/products/zzz")).status == 404
     assert (await client.get("/opra/eq/zzz")).status == 404
     assert (await client.get("/opra/search")).status == 400
 

@@ -536,6 +536,8 @@ def create_app(
     r.add_get("/opra/vendors", opra_vendors)
     r.add_get("/opra/search", opra_search)
     r.add_get("/opra/product/{product_id}", opra_product)
+    # Reference path shape (web/routers/opra.py: GET /products/{product_id}).
+    r.add_get("/opra/products/{product_id}", opra_product)
     r.add_get("/opra/eq/{eq_id}", opra_eq_preview)
     r.add_post("/opra/apply/{eq_id}", opra_apply)
 
