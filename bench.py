@@ -67,18 +67,24 @@ def main() -> int:
         )
     )
 
-    def chain_body(acc, _):
-        # The input perturbation makes iteration i+1 depend on the FULL
-        # output of iteration i; the reduction consumes every sample.
-        y = upsample_blocks(x * (1.0 + 1e-6 * acc), (hr, hi), cfg)
-        return acc + jnp.sum(jnp.abs(y)), None
+    def chain(a0, xa, r, i):
+        def body(acc, _):
+            # The input perturbation makes iteration i+1 depend on the FULL
+            # output of iteration i; the reduction consumes every sample.
+            y = upsample_blocks(xa * (1.0 + 1e-6 * acc), (r, i), cfg)
+            return acc + jnp.sum(jnp.abs(y)), None
 
-    fused = jax.jit(
-        lambda a0: jax.lax.scan(chain_body, a0, None, length=k_chain)[0]
-    )
+        return jax.lax.scan(body, a0, None, length=k_chain)[0]
+
+    # x/hr/hi enter as ARGUMENTS, not closure constants: closed-over arrays
+    # are baked into the serialized executable, and on this tunneled backend
+    # first-call latency is dominated by shipping that executable to the
+    # remote runtime (measured: 146 MB with baked constants -> ~5-8 min
+    # first call even on a persistent-cache hit).
+    fused = jax.jit(chain)
 
     t0 = time.monotonic()
-    v = float(fused(jnp.float32(0)))
+    v = float(fused(jnp.float32(0), x, hr, hi))
     compile_s = time.monotonic() - t0
     assert np.isfinite(v) and v > 0, "bad output"
     print(f"first call (compile + run): {compile_s:.1f}s", file=sys.stderr)
@@ -88,7 +94,7 @@ def main() -> int:
     best = float("inf")
     for trial in range(3):
         t0 = time.monotonic()
-        v = float(fused(jnp.float32(1e-6 * trial)))
+        v = float(fused(jnp.float32(1e-6 * trial), x, hr, hi))
         best = min(best, time.monotonic() - t0)
     assert np.isfinite(v) and v > 0
 

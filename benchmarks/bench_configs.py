@@ -46,25 +46,32 @@ def _loaded_filter(taps: int, ratio: int, fft_size: int):
     )
 
 
-def _measure_chained(step_y, out_samples_per_iter: int) -> float:
-    """step_y(scale_scalar) -> output array. Returns samples/s over K_CHAIN
-    chained evaluations (best of 3)."""
+def _measure_chained(step_y, out_samples_per_iter: int, *operands) -> float:
+    """step_y(scale_scalar, *operands) -> output array. Returns samples/s
+    over K_CHAIN chained evaluations (best of 3).
+
+    Operands enter the jit as ARGUMENTS, not closure constants: closed-over
+    arrays get baked into the serialized executable, and on the tunneled
+    TPU backend first-call latency is dominated by shipping that executable
+    to the remote runtime (bench.py measured 146 MB of baked constants ->
+    minutes of first-call even on a persistent-cache hit)."""
     import jax
     import jax.numpy as jnp
 
-    def body(acc, _):
-        y = step_y(1.0 + 1e-6 * acc)
-        return acc + jnp.sum(jnp.abs(y)), None
+    def chain(a0, *ops):
+        def body(acc, _):
+            y = step_y(1.0 + 1e-6 * acc, *ops)
+            return acc + jnp.sum(jnp.abs(y)), None
 
-    fused = jax.jit(
-        lambda a0: jax.lax.scan(body, a0, None, length=K_CHAIN)[0]
-    )
-    v = float(fused(jnp.float32(0)))
+        return jax.lax.scan(body, a0, None, length=K_CHAIN)[0]
+
+    fused = jax.jit(chain)
+    v = float(fused(jnp.float32(0), *operands))
     assert np.isfinite(v) and v != 0, "bad bench output"
     best = float("inf")
     for trial in range(3):
         t0 = time.monotonic()
-        float(fused(jnp.float32(1e-6 * trial)))
+        float(fused(jnp.float32(1e-6 * trial), *operands))
         best = min(best, time.monotonic() - t0)
     return out_samples_per_iter * K_CHAIN / best
 
@@ -91,8 +98,8 @@ def bench_stereo_2x(quick: bool) -> dict:
         (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)
         .astype(np.float32))
     sps = _measure_chained(
-        lambda s: upsample_blocks(x * s, spec, cfg),
-        2 * blocks * cfg.block_size)
+        lambda s, xa, sp: upsample_blocks(xa * s, sp, cfg),
+        2 * blocks * cfg.block_size, x, spec)
     return {"config": "stereo_2x_80k", "samples_per_s": sps,
             "realtime_x": sps / (2 * 705600)}
 
@@ -124,8 +131,8 @@ def bench_4x_eq(quick: bool) -> dict:
         (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)
         .astype(np.float32))
     sps = _measure_chained(
-        lambda s: upsample_blocks(x * s, spec, cfg),
-        2 * blocks * cfg.block_size)
+        lambda s, xa, sp: upsample_blocks(xa * s, sp, cfg),
+        2 * blocks * cfg.block_size, x, spec)
     return {"config": "48k_4x_opra_eq", "samples_per_s": sps,
             "realtime_x": sps / (2 * 768000)}
 
@@ -148,8 +155,8 @@ def bench_16x(quick: bool) -> dict:
         (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)
         .astype(np.float32))
     sps = _measure_chained(
-        lambda s: upsample_blocks(x * s, spec, cfg),
-        2 * blocks * cfg.block_size)
+        lambda s, xa, sp: upsample_blocks(xa * s, sp, cfg),
+        2 * blocks * cfg.block_size, x, spec)
     return {"config": "16x_80k_single_chip", "samples_per_s": sps,
             "realtime_x": sps / (2 * 705600)}
 
@@ -177,7 +184,8 @@ def bench_8ch_sharded(quick: bool) -> dict:
         NamedSharding(mesh, P("channel", "time")))
     tail, step, spec = ups._tail, ups._step, ups._spectrum
     sps = _measure_chained(
-        lambda s: step(tail, x * s, spec)[0], 8 * per_step * 8)
+        lambda s, t, xa, sp: step(t, xa * s, sp)[0],
+        8 * per_step * 8, tail, x, spec)
     return {"config": "8ch_8x_channel_sharded", "devices": n_channel,
             "samples_per_s": sps, "realtime_x": sps / (8 * 705600)}
 
@@ -207,7 +215,8 @@ def bench_streaming_reload(quick: bool) -> dict:
         NamedSharding(mesh, P("channel", "time")))
     tail, step = ups._tail, ups._step
     sps = _measure_chained(
-        lambda s: step(tail, x * s, ups._spectrum)[0], 2 * per_step * 16)
+        lambda s, t, xa, sp: step(t, xa * s, sp)[0],
+        2 * per_step * 16, tail, x, ups._spectrum)
 
     # Live RELOAD: swap the EQ and run one consumed step through the same
     # jitted callable (traced operand -> no recompile).
