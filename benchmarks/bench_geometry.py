@@ -58,18 +58,22 @@ def measure(ratio: int, fft_size: int, taps: int = 80001,
         (rng.normal(size=(channels, cfg.halo_in + blocks * cfg.block_in))
          * 0.3).astype(np.float32)))
 
-    def body(acc, _):
-        y = upsample_blocks(x * (1.0 + 1e-6 * acc), (hr, hi), cfg)
-        return acc + jnp.sum(jnp.abs(y)), None
+    # Big operands enter as jit ARGUMENTS (closure arrays get baked into
+    # the serialized executable; see PERF.md "First-call latency anatomy").
+    def chain(a0, xa, r, i):
+        def body(acc, _):
+            y = upsample_blocks(xa * (1.0 + 1e-6 * acc), (r, i), cfg)
+            return acc + jnp.sum(jnp.abs(y)), None
 
-    fused = jax.jit(
-        lambda a0: jax.lax.scan(body, a0, None, length=k_chain)[0])
-    v = float(fused(jnp.float32(0)))  # compile + first run
+        return jax.lax.scan(body, a0, None, length=k_chain)[0]
+
+    fused = jax.jit(chain)
+    v = float(fused(jnp.float32(0), x, hr, hi))  # compile + first run
     assert np.isfinite(v) and v > 0
     best = float("inf")
     for t in range(3):
         t0 = time.monotonic()
-        v = float(fused(jnp.float32(1e-6 * t)))
+        v = float(fused(jnp.float32(1e-6 * t), x, hr, hi))
         best = min(best, time.monotonic() - t0)
     assert np.isfinite(v)
     out_samples = channels * blocks * block * k_chain

@@ -80,19 +80,22 @@ def main(argv=None) -> int:
         step = ups._step
 
         # Chained evaluations inside one jit (lazy-execution-safe timing;
-        # see bench.py / PERF.md).
-        def body(acc, _):
-            y, _tail = step(tail, x * (1.0 + 1e-6 * acc), spec)
-            return acc + jnp.sum(jnp.abs(y)), None
+        # see bench.py / PERF.md). Operands are jit arguments, not closure
+        # constants (PERF.md "First-call latency anatomy").
+        def chain(a0, tl, xa, sp):
+            def body(acc, _):
+                y, _tail = step(tl, xa * (1.0 + 1e-6 * acc), sp)
+                return acc + jnp.sum(jnp.abs(y)), None
 
-        fused = jax.jit(lambda a0: jax.lax.scan(
-            body, a0, None, length=args.iters)[0])
-        v = float(fused(jnp.float32(0)))
+            return jax.lax.scan(body, a0, None, length=args.iters)[0]
+
+        fused = jax.jit(chain)
+        v = float(fused(jnp.float32(0), tail, x, spec))
         assert np.isfinite(v) and v != 0
         best = float("inf")
         for trial in range(3):
             t0 = time.monotonic()
-            float(fused(jnp.float32(trial * 1e-6)))
+            float(fused(jnp.float32(trial * 1e-6), tail, x, spec))
             best = min(best, time.monotonic() - t0)
         sps = args.channels * t * args.ratio * args.iters / best
         if base_sps is None:
