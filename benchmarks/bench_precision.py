@@ -145,18 +145,22 @@ def _pipeline_once(prec, quick: bool) -> dict:
             (rng.normal(size=(2, cfg.halo_in + blocks * cfg.block_in)) * 0.3)
             .astype(np.float32))
 
-        def body(acc, _):
-            yy = upsample_blocks(x * (1.0 + 1e-6 * acc), spec, cfg)
-            return acc + jnp.sum(jnp.abs(yy)), None
+        # Operands as jit arguments (closure arrays bloat the serialized
+        # executable — PERF.md "First-call latency anatomy").
+        def chain(a0, xa, sp):
+            def body(acc, _):
+                yy = upsample_blocks(xa * (1.0 + 1e-6 * acc), sp, cfg)
+                return acc + jnp.sum(jnp.abs(yy)), None
 
-        fused = jax.jit(
-            lambda a0: jax.lax.scan(body, a0, None, length=K_CHAIN)[0])
-        v = float(fused(jnp.float32(0)))
+            return jax.lax.scan(body, a0, None, length=K_CHAIN)[0]
+
+        fused = jax.jit(chain)
+        v = float(fused(jnp.float32(0), x, spec))
         assert np.isfinite(v) and v != 0
         best = float("inf")
         for t in range(3):
             t0 = time.monotonic()
-            float(fused(jnp.float32(1e-6 * t)))
+            float(fused(jnp.float32(1e-6 * t), x, spec))
             best = min(best, time.monotonic() - t0)
         sps = 2 * blocks * cfg.block_size * K_CHAIN / best
         return {"snr_db": round(snr, 1), "samples_per_s": round(sps, 1)}

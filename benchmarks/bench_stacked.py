@@ -40,7 +40,7 @@ def _timeit(fused, *args) -> float:
     return best
 
 
-def _chain(step_y, n_ops: int):
+def _chain(step_y):
     """step_y(scale, *ops) -> y; big operands passed as jit args (closure
     constants above ~100 MB overflow the remote-compile request)."""
     import jax
@@ -66,7 +66,7 @@ def bench_k_sweep_ext(m: int) -> None:
         a = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32) * 0.1)
         w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.1)
         fused = _chain(lambda s, a, w: jnp.dot(
-            a * s, w, precision=jax.lax.Precision.HIGHEST), 2)
+            a * s, w, precision=jax.lax.Precision.HIGHEST))
         best = _timeit(fused, a, w)
         print(json.dumps({
             "exp": "k_sweep_ext", "m": m, "k": k, "n": n,
@@ -98,7 +98,7 @@ def bench_stacked_vs_split(frames: int) -> None:
         return dr + di
 
     ops = tuple(map(jnp.asarray, (cr, ci, wr, wi)))
-    best = _timeit(_chain(split, 4), *ops)
+    best = _timeit(_chain(split), *ops)
     print(json.dumps({"exp": "cmatmul", "form": "split4",
                       "us_per_frame": round(best / (K_CHAIN * B) * 1e6, 2),
                       "tflop_s": round(flops4 / best / 1e12, 2)}), flush=True)
@@ -111,7 +111,7 @@ def bench_stacked_vs_split(frames: int) -> None:
         d = jnp.einsum("bkq,qm->bmk", z * s, wblk, precision=pr)
         return d[:, :cols] + d[:, cols:]
 
-    best = _timeit(_chain(stacked, 2), jnp.asarray(z), jnp.asarray(wblk))
+    best = _timeit(_chain(stacked), jnp.asarray(z), jnp.asarray(wblk))
     print(json.dumps({"exp": "cmatmul", "form": "stacked_2K",
                       "us_per_frame": round(best / (K_CHAIN * B) * 1e6, 2),
                       "tflop_s": round(flops4 / best / 1e12, 2)}), flush=True)

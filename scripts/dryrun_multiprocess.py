@@ -90,8 +90,39 @@ def worker(pid: int, port: int) -> int:
             snr = 10 * np.log10(
                 max(np.sum(want ** 2), 1e-300) / max(np.sum(err ** 2), 1e-300))
             assert snr > 100.0, f"proc {pid} step {s} ch {c}: SNR {snr:.1f} dB"
+    # --- Channel-only multi-host sharding (n_time=1): each process owns a
+    # block of channel ROWS over the full time span — zero-communication
+    # scaling (PERF.md scaling model), previously a dead end because the
+    # single time column spanned both processes.
+    mesh_ch = make_mesh(n_channel=8, n_time=1)
+    ups_ch = ShardedUpsampler(lf, mesh_ch, channels=8)
+    rows = ups_ch._local_channel_rows
+    assert len(rows) == 4 and ups_ch.local_channels == 4, (
+        rows, ups_ch.local_channels)
+    per_step_ch = ups_ch.block_input_frames
+    x8 = (rng.normal(size=(8, 2 * per_step_ch)) * 0.3).astype(np.float32)
+    outs_ch = []
+    for s in range(2):
+        x_step = x8[:, s * per_step_ch: (s + 1) * per_step_ch]
+        y_local = ups_ch.process_block(x_step[rows[0]: rows[0] + 4])
+        assert y_local.shape == (4, per_step_ch * ratio), y_local.shape
+        outs_ch.append(y_local)
+    for j, c in enumerate(range(rows[0], rows[0] + 4)):
+        up = np.zeros(x8.shape[1] * ratio)
+        up[::ratio] = x8[c]
+        ref = ssig.fftconvolve(up, taps.astype(np.float64))[: len(up)]
+        for s in range(2):
+            got = outs_ch[s][j]
+            want = ref[s * per_step_ch * ratio: (s + 1) * per_step_ch * ratio]
+            err = got - want
+            snr = 10 * np.log10(
+                max(np.sum(want ** 2), 1e-300) / max(np.sum(err ** 2), 1e-300))
+            assert snr > 100.0, (
+                f"proc {pid} ch-only step {s} ch {c}: SNR {snr:.1f} dB")
+
     print(f"worker {pid}: ok ({jax.process_count()} processes x "
-          f"{jax.local_device_count()} devices, SNR > 100 dB)", flush=True)
+          f"{jax.local_device_count()} devices, SNR > 100 dB, "
+          "time-sharded + channel-only)", flush=True)
     return 0
 
 

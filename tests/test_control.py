@@ -123,6 +123,28 @@ class TestDaemonInProcess:
         finally:
             d.stop()
 
+    def test_failed_phase_swap_keeps_reported_phase(self, tmp_path):
+        """A raising on_phase_change (e.g. the linear filter is missing)
+        must return INTERNAL and leave the daemon reporting the phase the
+        engine is actually running."""
+        def boom(phase):
+            raise FileNotFoundError("no linear filter in dir")
+
+        d = ControlDaemon(
+            endpoint=f"ipc://{tmp_path}/fail.sock",
+            on_phase_change=boom,
+            phase_type="minimum",
+        )
+        d.start()
+        try:
+            c = DaemonClient(endpoint=d.endpoint, timeout_ms=3000)
+            r = c.set_phase_type("linear")
+            assert not r.ok and r.error_code == "INTERNAL"
+            assert d.phase_type == "minimum"
+            assert c.get_phase_type().data["phase_type"] == "minimum"
+        finally:
+            d.stop()
+
     def test_client_timeout_when_no_server(self, tmp_path):
         c = DaemonClient(endpoint=f"ipc://{tmp_path}/nobody.sock",
                          timeout_ms=200)

@@ -107,6 +107,38 @@ def test_config_eq_tracked_across_reload(phase_filter_dir, tmp_path):
             proc.wait()
 
 
+def test_startup_phase_from_config(phase_filter_dir, tmp_path):
+    """Without --phase, the streamer boots with config.json's
+    filter.phaseType — so a persisted PHASE_TYPE_SET survives a restart
+    instead of reverting to minimum."""
+    import json
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({"filter": {"phaseType": "linear"}}))
+    endpoint = f"ipc://{tmp_path}/boot_phase.sock"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.stream",
+         "--in", "null", "--out", "null", "--rate", "352800",
+         "--ratio", "2", "--filter-dir", str(phase_filter_dir),
+         "--config", str(cfg),
+         "--control-endpoint", endpoint,
+         "--duration", "60"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        client = DaemonClient(endpoint=endpoint, timeout_ms=15000)
+        _wait_ping(client, proc)
+        assert client.get_phase_type().data["phase_type"] == "linear"
+        assert client.shutdown().ok
+        assert proc.wait(timeout=60) == 0
+        out = proc.stdout.read()
+        assert "linear_phase" in out.splitlines()[0]  # loaded at startup
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
 def test_streamer_with_live_control(phase_filter_dir, tmp_path):
     endpoint = f"ipc://{tmp_path}/live.sock"
     proc = subprocess.Popen(

@@ -103,6 +103,38 @@ class TestShardedStreaming:
         y_single = eng.process_block(x)
         np.testing.assert_allclose(y_stream, y_single, rtol=1e-5, atol=1e-6)
 
+    def test_rejected_swap_leaves_state_consistent(self, small_filter, rng):
+        """A geometry-mismatched load_filter must not touch ANY state: a
+        later set_eq rebuilds the spectrum from self._filter.taps, so a
+        half-applied swap would silently corrupt audio."""
+        import dataclasses
+
+        from totton_tpu.filters.sidecar import LoadedFilter
+
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=4)
+        sharded = ShardedUpsampler(lf, mesh, channels=2)
+        per_step = sharded.step_input_frames
+        while (per_step // 4) < sharded.config.halo_in:
+            per_step *= 2
+        x = (rng.normal(size=(2, per_step)) * 0.3).astype(np.float32)
+        y_before = sharded.process_block(x)
+        sharded.reset()
+
+        bad = LoadedFilter(
+            taps=np.zeros(501, np.float32),
+            sidecar=dataclasses.replace(
+                lf.sidecar, taps=501, fft_size=2048, block_size=2048 - 500),
+        )
+        with pytest.raises(ValueError):
+            sharded.load_filter(bad)
+        assert sharded._filter is lf
+
+        # set_eq after the rejected swap still matches the clean engine.
+        sharded.set_eq(np.ones(sharded.config.n_bins, np.float64))
+        y_after = sharded.process_block(x)
+        np.testing.assert_allclose(y_after, y_before, rtol=1e-6, atol=1e-7)
+
     def test_reset(self, small_filter, rng):
         lf = small_filter
         mesh = make_mesh(n_channel=1, n_time=4)

@@ -86,21 +86,15 @@ def test_realtime_overflow_drops_not_blocks(coefficients_dir):
     assert session._feed_done.is_set()
 
 
-def test_write_out_counts_one_overflow_per_episode(coefficients_dir):
-    """A single slow-sink episode must count ONE output overflow, not one
-    per 2 ms polling iteration (round-1 regression: a stalled drainer
-    reported hundreds of xruns)."""
-    import threading
-    import time
-
+def _stalled_write_session(coefficients_dir, realtime: bool):
     from totton_tpu.io.devices import NullSink, NullSource
 
     lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
     eng = StreamingUpsampler(lf, channels=2)
-    session = ThreadedStreamSession(
-        NullSource(channels=2, sample_rate=352800), NullSink(), eng,
-        buffer_blocks=3,
-    )
+    src = NullSource(channels=2, sample_rate=352800)
+    if realtime:
+        src.realtime = True
+    session = ThreadedStreamSession(src, NullSink(), eng, buffer_blocks=3)
     ring = session._out_ring
     # Fill the ring so the writer stalls immediately.
     pad = np.zeros(1024, np.float32)
@@ -109,15 +103,45 @@ def test_write_out_counts_one_overflow_per_episode(coefficients_dir):
     leftover = ring.available_to_write()
     if leftover:
         ring.write(np.zeros(leftover, np.float32))
+    return session, ring
+
+
+def _run_stalled_write(session, ring):
+    import threading
+    import time
+
     flat = np.zeros(ring.capacity - (ring.capacity % 2), np.float32)
     writer = threading.Thread(target=session._write_out, args=(flat,))
     writer.start()
-    time.sleep(0.1)  # ~50 poll iterations under the old accounting
-    assert session.stats.output_overflows == 1
-    ring.read(ring.available_to_read())  # drain everything at once
+    time.sleep(0.1)  # ~50 poll iterations under the old per-poll accounting
+    mid_stall = session.stats.output_overflows
+    # Drain in small chunks: partial progress must NOT re-arm the counter
+    # (the round-2 regression: one count per ring-fill cycle).
+    while writer.is_alive():
+        ring.read(min(4096, ring.available_to_read()))
+        time.sleep(0.001)
     writer.join(timeout=5)
     assert not writer.is_alive()
-    assert session.stats.output_overflows == 1
+    return mid_stall, session.stats.output_overflows
+
+
+def test_write_out_counts_one_overflow_per_episode(coefficients_dir):
+    """A realtime session's slow-sink episode counts ONE output overflow:
+    not one per 2 ms poll (round-1 regression) and not one per ring-fill
+    cycle during the chunked write (round-2 regression)."""
+    session, ring = _stalled_write_session(coefficients_dir, realtime=True)
+    mid, final = _run_stalled_write(session, ring)
+    assert mid == 1
+    assert final == 1
+
+
+def test_write_out_offline_backpressure_counts_nothing(coefficients_dir):
+    """Offline sources deliberately push dispatches larger than the output
+    ring; that healthy backpressure is not an xrun."""
+    session, ring = _stalled_write_session(coefficients_dir, realtime=False)
+    mid, final = _run_stalled_write(session, ring)
+    assert mid == 0
+    assert final == 0
 
 
 def test_low_latency_dispatch_quantized_to_warmed_shapes():

@@ -47,6 +47,38 @@ class TestScanner:
     def test_glued_hz_and_khz(self):
         assert scan_band_line("Filter 1: ON PK Fc 1000Hz Gain 1 dB Q 1").fc_hz == 1000.0
         assert scan_band_line("Filter 1: ON PK Fc 2 kHz Gain 1 dB Q 1").fc_hz == 2000.0
+        assert scan_band_line("Filter 1: ON PK Fc 2kHz Gain 1 dB Q 1").fc_hz == 2000.0
+
+    def test_fc_units_agree_with_engine_parser(self):
+        """The validator and the live DSP must see the SAME frequency for
+        every accepted spelling (a 1000x disagreement means the plotted
+        curve and the audible EQ diverge)."""
+        from totton_tpu.eq.apo import parse_eq_string
+
+        for line, want in [
+            ("Filter 1: ON PK Fc 2 kHz Gain 1 dB Q 1", 2000.0),
+            ("Filter 1: ON PK Fc 2kHz Gain 1 dB Q 1", 2000.0),
+            ("Filter 1: ON PK Fc 250 Hz Gain 1 dB Q 1", 250.0),
+        ]:
+            assert scan_band_line(line).fc_hz == want
+            assert parse_eq_string(line).bands[0].frequency == want
+
+    def test_preamp_forms_agree_with_engine_parser(self):
+        """_scan_preamp mirrors eq/apo.py _PREAMP_RE: dB suffix required
+        (glued or spaced); a bare number is ignored by the engine so the
+        validator must flag it, not report headroom."""
+        from totton_tpu.eq.apo import parse_eq_string
+
+        from totton_tpu.web.services.eq import _scan_preamp
+
+        assert _scan_preamp("Preamp: -6 dB") == (True, -6.0)
+        assert _scan_preamp("Preamp: -6dB") == (True, -6.0)
+        assert parse_eq_string("Preamp: -6dB").preamp_db == -6.0
+        # Bare number: engine applies preamp 0 -> validator says unreadable.
+        assert _scan_preamp("Preamp: -6") == (True, None)
+        assert parse_eq_string("Preamp: -6").preamp_db == 0.0
+        # Trailing junk: engine ignores the line -> unreadable here too.
+        assert _scan_preamp("Preamp: -6 dB extra") == (True, None)
 
     def test_rejects_non_filter_shapes(self):
         assert scan_band_line("Preamp: -6 dB") is None

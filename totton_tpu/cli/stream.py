@@ -45,8 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter", help="filter JSON path (docs/filter_format.md)")
     p.add_argument("--filter-dir", default="data/coefficients",
                    help="filter directory for auto lookup")
-    p.add_argument("--phase", default="min", choices=["min", "minimum", "linear"],
-                   help="filter phase for auto lookup")
+    p.add_argument("--phase", default=None, choices=["min", "minimum", "linear"],
+                   help="filter phase for auto lookup (default: config.json's "
+                        "filter.phaseType when --config is given, else min)")
     p.add_argument("--ratio", type=int, default=1, choices=[1, 2, 4, 8, 16],
                    help="upsample ratio for auto lookup")
     p.add_argument("--rate", type=int, help="input sample rate (Hz)")
@@ -121,13 +122,26 @@ def main(argv: list[str] | None = None) -> int:
         print("error: input rate unknown; pass --rate", file=sys.stderr)
         return 2
 
+    # Startup phase: explicit --phase > config.json filter.phaseType > min.
+    # Without this, a PHASE_TYPE_SET persisted into config would silently
+    # revert on process restart (the reference flaw the persistence fixes).
+    phase = args.phase
+    if phase is None and args.config_path:
+        from totton_tpu.web.services.config import load_config
+
+        settings = load_config(Path(args.config_path))
+        if settings.filter and settings.filter.phase_type in (
+                "min", "minimum", "linear"):
+            phase = settings.filter.phase_type
+    phase = phase or "min"
+
     ratio = args.ratio
     try:
         if args.filter or ratio > 1:
             filter_path = resolve_filter_path(
                 filter_path=args.filter,
                 filter_dir=args.filter_dir,
-                phase=args.phase,
+                phase=phase,
                 ratio=ratio,
                 input_rate=input_rate,
             )
@@ -238,7 +252,7 @@ def main(argv: list[str] | None = None) -> int:
         from totton_tpu.control.daemon import ControlDaemon
 
         upsampler = getattr(engine, "upsampler", engine)
-        current_phase = {"value": "minimum" if args.phase in ("min", "minimum")
+        current_phase = {"value": "minimum" if phase in ("min", "minimum")
                          else "linear"}
 
         def reload_filter(phase: str) -> None:
@@ -277,8 +291,11 @@ def main(argv: list[str] | None = None) -> int:
             reload_filter(current_phase["value"])
 
         def on_phase_change(phase: str) -> None:
-            current_phase["value"] = phase
+            # Reload FIRST: if the swap fails (no such filter on disk),
+            # the raised error propagates to the daemon (INTERNAL reply)
+            # and neither the tracked phase nor config.json moves.
             reload_filter(phase)
+            current_phase["value"] = phase
             # Persist so the next RELOAD / restart keeps this phase
             # (the reference's PHASE_TYPE_SET silently reverts on restart).
             if args.config_path:

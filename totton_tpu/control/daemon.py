@@ -143,9 +143,12 @@ class ControlDaemon:
         if phase not in ("minimum", "linear"):
             return build_error("INVALID_PARAMS",
                                "phase must be minimum or linear")
-        self.phase_type = phase
+        # Callback first: a failed engine swap (e.g. no linear filter on
+        # disk) raises -> dispatch returns INTERNAL and the reported phase
+        # stays what the engine is actually running.
         if self._on_phase_change is not None:
             self._on_phase_change(phase)
+        self.phase_type = phase
         self._publish_event("phase_type", phase_type=phase)
         return build_ok({"phase_type": self.phase_type})
 

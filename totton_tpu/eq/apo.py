@@ -101,10 +101,13 @@ class EqProfile:
 
 _PREAMP_RE = re.compile(r"^\s*Preamp\s*:\s*(-?[\d.]+)\s*dB\s*$", re.IGNORECASE)
 # Filter N: ON|OFF TYPE Fc F Hz [Gain G dB] [Q q | BW Oct o | BW b Hz]
+# The kHz unit scales by 1000 (the reference regex consumes a stray 'k'
+# without scaling — src/audio/eq_parser.cpp:188 reads "Fc 2 kHz" as 2 Hz;
+# fixed here, and the web validator applies the same x1000).
 _FILTER_RE = re.compile(
     r"^\s*Filter\s*\d*\s*:\s*(ON|OFF)\s+"
     r"([A-Z]+(?:\s+(?:6|12)DB)?)\s+"
-    r"Fc\s+(-?[\d.]+)\s*k?Hz(.*)$",
+    r"Fc\s+(-?[\d.]+)\s*(k?)Hz(.*)$",
     re.IGNORECASE,
 )
 _GAIN_RE = re.compile(r"Gain\s+(-?[\d.]+)\s*dB", re.IGNORECASE)
@@ -136,7 +139,7 @@ def parse_eq_string(content: str, name: str = "") -> EqProfile:
         m = _FILTER_RE.match(line)
         if not m:
             continue
-        enabled_tok, type_tok, fc_tok, rest = m.groups()
+        enabled_tok, type_tok, fc_tok, k_tok, rest = m.groups()
         try:
             ftype = parse_filter_type(type_tok)
         except ValueError:
@@ -144,7 +147,7 @@ def parse_eq_string(content: str, name: str = "") -> EqProfile:
         band = EqBand(
             enabled=enabled_tok.upper() == "ON",
             type=ftype,
-            frequency=float(fc_tok),
+            frequency=float(fc_tok) * (1000.0 if k_tok else 1.0),
         )
         gm = _GAIN_RE.search(rest)
         if gm:

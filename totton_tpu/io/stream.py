@@ -425,28 +425,30 @@ class ThreadedStreamSession:
     def _write_out(self, flat: np.ndarray) -> None:
         """Backpressured output-ring write in whatever-fits chunks.
 
-        A full ring counts ONE output overflow per stalled episode
-        (reference drop-and-count-once semantics,
-        alsa_streamer_main.cpp:557-562 — except nothing is dropped here:
-        the drainer owns the sink, so waiting is safe), not one per
-        2 ms polling iteration. Chunking keeps the ring small — it no
-        longer has to admit a whole max_batch_blocks dispatch at once.
+        Chunking keeps the ring small — it doesn't have to admit a whole
+        max_batch_blocks dispatch at once — which means a deep OFFLINE
+        dispatch fills the ring by design; that is healthy backpressure,
+        not an xrun, and counts nothing. Only LOW-LATENCY sessions count
+        output overflows (a stalled realtime sink means audio is falling
+        behind the clock — reference ring-overflow semantics,
+        alsa_streamer_main.cpp:557-562, minus the drop: the drainer owns
+        the sink, so waiting is safe), and at most ONE per dispatch's
+        stalled episode, never one per 2 ms polling iteration.
         """
         n = len(flat)
         pos = 0
-        stalled = False
+        counted = False
         while pos < n:
             room = self._out_ring.available_to_write()
             room -= room % self.channels  # keep frames whole for the drainer
             take = min(n - pos, room)
             if take and self._out_ring.write(flat[pos:pos + take]):
                 pos += take
-                stalled = False
                 continue
             if self._stop.is_set():
                 return
-            if not stalled:
-                stalled = True
+            if self._low_latency and not counted:
+                counted = True
                 self.stats.output_overflows += 1
             time.sleep(0.002)
 

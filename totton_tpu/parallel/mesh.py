@@ -35,14 +35,50 @@ def make_mesh(
             f"mesh {n_channel}x{n_time} does not cover {n} devices"
         )
     if jax.process_count() > 1:
-        # Multi-host: lay the grid out column-major so each time column
-        # (all channel rows of one time shard) is a block of consecutive
-        # devices — jax.devices() groups by process, so whole time columns
-        # then belong to single processes. That is the contract the
-        # per-process ingest path needs (each host feeds the time span its
-        # own devices compute; ShardedUpsampler validates it) and keeps a
-        # host's halo exchange on-host except at span boundaries.
-        grid = np.asarray(devices[:need]).reshape(n_time, n_channel).T
+        # Multi-host contract (ShardedUpsampler validates it): every
+        # process's devices must form a contiguous (channel rows x time
+        # cols) RECTANGLE of the grid, so each host feeds exactly the
+        # channel/time block its own devices compute. jax.devices() groups
+        # by process, so:
+        #  - column-major (whole time columns per process) satisfies it
+        #    when each process's share is a multiple of n_channel — the
+        #    layout for time-sharded streaming (halo exchange stays
+        #    on-host except at span boundaries);
+        #  - row-major (whole channel rows per process) covers the
+        #    channel-heavy corner (e.g. n_time=1 multi-host channel
+        #    sharding), where column-major would split a time column
+        #    across processes.
+        flat = np.asarray(devices[:need])
+        grid = flat.reshape(n_time, n_channel).T
+        if not _process_blocks_rectangular(grid):
+            grid = flat.reshape(n_channel, n_time)
+            if not _process_blocks_rectangular(grid):
+                raise ValueError(
+                    f"no ({n_channel}x{n_time}) grid over these {need} "
+                    "devices gives every process a contiguous channel x "
+                    "time rectangle; choose axis sizes so each process's "
+                    "device count is a multiple of n_channel or of n_time"
+                )
     else:
         grid = np.asarray(devices[:need]).reshape(n_channel, n_time)
     return Mesh(grid, axis_names=("channel", "time"))
+
+
+def _process_blocks_rectangular(grid: np.ndarray) -> bool:
+    """True iff every process's cells form a full contiguous rectangle."""
+    cells_by_proc: dict[int, list[tuple[int, int]]] = {}
+    n_rows, n_cols = grid.shape
+    for r in range(n_rows):
+        for t in range(n_cols):
+            cells_by_proc.setdefault(
+                grid[r, t].process_index, []).append((r, t))
+    for cells in cells_by_proc.values():
+        rows = sorted({c[0] for c in cells})
+        cols = sorted({c[1] for c in cells})
+        if rows != list(range(rows[0], rows[0] + len(rows))):
+            return False
+        if cols != list(range(cols[0], cols[0] + len(cols))):
+            return False
+        if len(cells) != len(rows) * len(cols):
+            return False
+    return True

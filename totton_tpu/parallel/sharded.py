@@ -175,40 +175,57 @@ class ShardedUpsampler:
         #: per-shard length covers the halo)
         self.block_input_frames = self.step_input_frames * mult
         self._sharding = NamedSharding(mesh, P("channel", "time"))
-        self._local_time_cols = self._resolve_local_time_cols(mesh)
+        self._local_channel_rows, self._local_time_cols = (
+            self._resolve_local_block(mesh))
+        if channels % mesh.shape["channel"] != 0:
+            raise ValueError(
+                f"channels ({channels}) not divisible by mesh channel "
+                f"axis ({mesh.shape['channel']})"
+            )
+        #: audio channels THIS process feeds/drains (= all of them on a
+        #: single process; its channel rows' share on multi-process)
+        self.local_channels = (
+            channels // mesh.shape["channel"] * len(self._local_channel_rows)
+        )
         import threading
 
         self._lock = threading.Lock()
 
     @staticmethod
-    def _resolve_local_time_cols(mesh: Mesh) -> list[int]:
-        """Time columns of the mesh owned by THIS process.
+    def _resolve_local_block(mesh: Mesh) -> tuple[list[int], list[int]]:
+        """(channel rows, time cols) of the mesh owned by THIS process.
 
-        The per-process ingest contract: every time column (all channel
-        rows of one time shard) lives on a single process, so each host
-        feeds exactly the contiguous time span its own devices compute
-        (make_mesh lays multi-host grids out this way).
+        The per-process ingest contract: each process's devices form a
+        contiguous (channel rows x time cols) rectangle, so every host
+        feeds exactly the channel/time block its own devices compute —
+        whole time columns for time-sharded streaming, whole channel rows
+        for multi-host channel-only sharding. make_mesh lays multi-host
+        grids out this way.
         """
         if jax.process_count() == 1:
-            return list(range(mesh.shape["time"]))
+            return (list(range(mesh.devices.shape[0])),
+                    list(range(mesh.shape["time"])))
         me = jax.process_index()
-        cols = []
-        for t in range(mesh.devices.shape[1]):
-            owners = {d.process_index for d in mesh.devices[:, t]}
-            if len(owners) != 1:
-                raise ValueError(
-                    "multi-host ingest needs process-homogeneous time "
-                    f"columns; column {t} spans processes {sorted(owners)} "
-                    "(build the mesh with parallel.make_mesh)"
-                )
-            if owners.pop() == me:
-                cols.append(t)
-        if cols and cols != list(range(cols[0], cols[0] + len(cols))):
+        cells = [
+            (r, t)
+            for r in range(mesh.devices.shape[0])
+            for t in range(mesh.devices.shape[1])
+            if mesh.devices[r, t].process_index == me
+        ]
+        rows = sorted({c[0] for c in cells})
+        cols = sorted({c[1] for c in cells})
+        rect = (
+            rows == list(range(rows[0], rows[0] + len(rows)))
+            and cols == list(range(cols[0], cols[0] + len(cols)))
+            and len(cells) == len(rows) * len(cols)
+        ) if cells else False
+        if not rect:
             raise ValueError(
-                f"this process's time columns {cols} are not contiguous; "
-                "build the mesh with parallel.make_mesh"
+                "multi-host ingest needs each process's devices to form a "
+                f"contiguous channel x time rectangle; process {me} owns "
+                f"cells {cells} (build the mesh with parallel.make_mesh)"
             )
-        return cols
+        return rows, cols
 
     @property
     def ratio(self) -> int:
@@ -242,14 +259,17 @@ class ShardedUpsampler:
     ) -> None:
         """Swap filters (same-geometry swaps never recompile)."""
         cfg = OverlapSaveConfig.from_sidecar(filt.sidecar)
+        # Validate BEFORE touching any state: a rejected swap must leave
+        # filter/spectrum/config consistent (a later set_eq rebuilds the
+        # spectrum from self._filter.taps).
+        if cfg != self.config:
+            raise ValueError(
+                "sharded engine filter swap requires identical "
+                f"overlap-save geometry (have {self.config}, new {cfg})"
+            )
         spectrum = filter_spectrum(filt.taps, cfg.fft_size, eq_response)
         with self._lock:
             self._filter = filt
-            if cfg != self.config:
-                raise ValueError(
-                    "sharded engine filter swap requires identical "
-                    f"overlap-save geometry (have {self.config}, new {cfg})"
-                )
             self._note_swap(self._spectrum)
             self._spectrum = spectrum
 
@@ -257,7 +277,8 @@ class ShardedUpsampler:
         """Host -> device transfer of one step's input.
 
         Single process: device_put of the global [C, T] array. Multi
-        process: ``x`` is this process's LOCAL time span ([C, T_local]);
+        process: ``x`` is this process's LOCAL block — its channel rows'
+        share over its time span ([local_channels, T_local]);
         jax.make_array_from_process_local_data assembles the global array
         from every host's local feed — no host ever materializes the
         global signal (the reference has no multi-host path at all;
@@ -267,8 +288,6 @@ class ShardedUpsampler:
         n_local = len(self._local_time_cols)
         if jax.process_count() == 1:
             return jax.device_put(jnp.asarray(x), self._sharding), x.shape[1]
-        if n_local == 0:
-            raise ValueError("this process owns no time columns of the mesh")
         if x.shape[1] % n_local != 0:
             raise ValueError(
                 f"local input length {x.shape[1]} must split across "
@@ -276,7 +295,7 @@ class ShardedUpsampler:
             )
         global_t = x.shape[1] // n_local * n_time
         arr = jax.make_array_from_process_local_data(
-            self._sharding, x, (x.shape[0], global_t)
+            self._sharding, x, (self._channels, global_t)
         )
         return arr, global_t
 
@@ -300,8 +319,9 @@ class ShardedUpsampler:
         """Upsample one step of input.
 
         Single process: x is the global [C, T] block, returns [C, T*ratio].
-        Multi process: x is this process's local time span [C, T_local],
-        returns the local [C, T_local*ratio] output span.
+        Multi process: x is this process's local block
+        [local_channels, T_local] (its channel rows over its time span),
+        returns the matching [local_channels, T_local*ratio] output block.
 
         The host->device transfer happens OUTSIDE the dispatch lock (the
         backend dispatches asynchronously, so transfer of step i+1 overlaps
@@ -309,9 +329,10 @@ class ShardedUpsampler:
         filter/EQ hot-swaps against dispatch.
         """
         x = np.asarray(x, dtype=np.float32)
-        if x.ndim != 2 or x.shape[0] != self._channels:
+        if x.ndim != 2 or x.shape[0] != self.local_channels:
             raise ValueError(
-                f"expected [channels={self._channels}, n], got {x.shape}"
+                f"expected [local_channels={self.local_channels}, n], "
+                f"got {x.shape}"
             )
         xs, global_t = self._put(x)
         if global_t % self.step_input_frames != 0 or global_t == 0:
@@ -319,7 +340,7 @@ class ShardedUpsampler:
                 f"global input length {global_t} must be a positive multiple "
                 f"of step_input_frames {self.step_input_frames}"
             )
-        _check_shapes(self.config, self.mesh, x.shape[0], global_t)
+        _check_shapes(self.config, self.mesh, self._channels, global_t)
         with self._lock:
             tail_before = self._tail
             y, self._tail = self._step(tail_before, xs, self._spectrum)

@@ -154,17 +154,23 @@ def scan_band_line(line: str) -> BandLine | None:
     if i >= len(tokens):
         return None
     fc_tok = tokens[i]
-    # Accept a glued unit ("1000Hz") or a separate one ("1000 Hz").
-    if fc_tok.lower().endswith("hz"):
-        fc_tok = fc_tok[:-2]
+    # Accept a glued unit ("1000Hz", "2kHz") or a separate one ("2 kHz");
+    # kHz scales x1000 in the DSP parser (eq/apo.py) and here alike.
+    scale = 1.0
+    unit_seen = False
+    if fc_tok.lower().endswith("khz"):
+        fc_tok, scale, unit_seen = fc_tok[:-3], 1000.0, True
+    elif fc_tok.lower().endswith("hz"):
+        fc_tok, unit_seen = fc_tok[:-2], True
     band.fc_hz = _number(fc_tok)
     if band.fc_hz is None:
         return None
     i += 1
-    if i < len(tokens) and tokens[i].lower() in ("hz", "khz"):
+    if not unit_seen and i < len(tokens) and tokens[i].lower() in ("hz", "khz"):
         if tokens[i].lower() == "khz":
-            band.fc_hz *= 1000.0
+            scale = 1000.0
         i += 1
+    band.fc_hz *= scale
 
     # Remaining parameters, in any order.
     while i < len(tokens):
@@ -210,12 +216,20 @@ def is_correction_band(band: BandLine | None) -> bool:
 
 
 def _scan_preamp(line: str) -> tuple[bool, float | None]:
-    """(is_preamp_line, value or None when unreadable)."""
+    """(is_preamp_line, value or None when unreadable).
+
+    Mirrors the DSP parser exactly (eq/apo.py ``_PREAMP_RE``): the value
+    must be a number followed by a dB suffix — glued ("-6dB") or spaced
+    ("-6 dB") — ending the line. A bare number is UNREADABLE here because
+    the engine ignores that line (preamp 0); reporting it as valid would
+    claim headroom the engine won't apply."""
     head, sep, rest = line.partition(":")
     if not sep or head.strip().lower() != "preamp":
         return False, None
-    value_tok = rest.split()[0] if rest.split() else ""
-    return True, _number(value_tok)
+    value = rest.strip()
+    if not value.lower().endswith("db"):
+        return True, None
+    return True, _number(value[:-2].strip())
 
 
 def _check_band(band: BandLine, label: int | str,
