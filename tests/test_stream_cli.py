@@ -236,3 +236,39 @@ def test_low_latency_session_warms_up_engine(coefficients_dir):
     shapes.clear()
     StreamSession(NullSourceFrames(4), NullSink(), engine)
     assert shapes == []
+
+
+def test_sigint_stops_stream_gracefully(coefficients_dir, tmp_path):
+    """SIGINT mid-stream triggers a clean stop (reference SIGINT semantics,
+    alsa_streamer_main.cpp:38-40); a second signal would hard-exit, which
+    matters when a device dispatch hangs."""
+    import signal as _signal
+    import subprocess
+    import sys
+    import time
+
+    stats = tmp_path / "sig_stats.json"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.stream",
+         "--in", "null", "--out", "null", "--rate", "352800", "--ratio", "2",
+         "--filter-dir", str(coefficients_dir), "--duration", "120",
+         "--stats-path", str(stats)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        # Wait for the stream loop to be live (it writes the stats file),
+        # so the signal lands on the installed handler, not startup code.
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and not stats.exists():
+            if proc.poll() is not None:
+                raise AssertionError(f"exited early: {proc.stdout.read()}")
+            time.sleep(0.2)
+        assert stats.exists(), "stream loop never came up"
+        proc.send_signal(_signal.SIGINT)
+        assert proc.wait(timeout=120) == 0
+        out = proc.stdout.read()
+        assert "Streaming stopped" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()

@@ -238,7 +238,19 @@ def main(argv: list[str] | None = None) -> int:
         stats_path=args.stats_path,
     )
 
+    # First signal: graceful stop (drain in-flight dispatch, close files).
+    # Second signal: hard exit — the graceful path can block indefinitely
+    # behind a hung device dispatch (observed on the tunneled TPU runtime),
+    # and a repeated Ctrl-C / TERM must still kill the process.
+    signal_count = {"n": 0}
+
     def handle_signal(signum, frame):
+        signal_count["n"] += 1
+        if signal_count["n"] >= 2:
+            import os
+
+            print("forced exit (second signal)", file=sys.stderr)
+            os._exit(1)
         session.stop()
 
     signal.signal(signal.SIGINT, handle_signal)
