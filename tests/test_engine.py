@@ -241,3 +241,35 @@ class TestSwapFade:
         x16 = rng.normal(size=(1, eng.block_input_frames)).astype(np.float32)
         y = eng.process_block(x16)
         assert y.shape == (1, eng.config.block_size)
+
+    def test_fade_carries_across_dispatches(self, coefficients_dir, rng):
+        """The configured fade length is honored even when each dispatch
+        is shorter than the window (low-latency single-block mode): the
+        ramp starts at exactly 0 (sample 0 is pure old filter) and
+        continues across process_block calls until swap_fade_frames
+        output samples have ramped."""
+        lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        total = 120  # > one block's output (block_size), forces carry
+        eng = StreamingUpsampler(lf, channels=1, swap_fade_frames=total)
+        assert total > eng.config.block_size
+        eng_old = StreamingUpsampler(lf, channels=1)  # never swapped
+        eng_new = StreamingUpsampler(lf, channels=1)  # swapped, no fade
+        bi = eng.block_input_frames
+        x = (rng.normal(size=(1, 6 * bi)) * 0.3).astype(np.float32)
+        blocks = [x[:, i * bi:(i + 1) * bi] for i in range(6)]
+        for e in (eng, eng_old, eng_new):
+            e.process_block(blocks[0])
+        eng.set_eq(np.full(eng.config.n_bins, 0.5))
+        eng_new.set_eq(np.full(eng_new.config.n_bins, 0.5))
+        got = np.concatenate(
+            [eng.process_block(b) for b in blocks[1:]], axis=1)
+        y_old = np.concatenate(
+            [eng_old.process_block(b) for b in blocks[1:]], axis=1)
+        y_new = np.concatenate(
+            [eng_new.process_block(b) for b in blocks[1:]], axis=1)
+        n = got.shape[1]
+        ramp = np.minimum(np.arange(n, dtype=np.float32) / total, 1.0)
+        expected = y_old * (1.0 - ramp) + y_new * ramp
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-7)
+        # Sample 0 is bit-exactly the old filter's output.
+        np.testing.assert_array_equal(got[:, 0], y_old[:, 0])

@@ -185,3 +185,36 @@ def test_streamer_with_live_control(phase_filter_dir, tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+def test_sharded_phase_type_set(phase_filter_dir, tmp_path):
+    """--shard-time + PHASE_TYPE_SET (round-2 VERDICT weak #3): a
+    same-geometry hot swap must land on the sharded engine (the 16
+    shipped artifacts — and this fixture's two phases — share geometry,
+    so ShardedUpsampler.load_filter accepts it)."""
+    endpoint = f"ipc://{tmp_path}/sharded_phase.sock"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.stream",
+         "--in", "null", "--out", "null", "--rate", "352800",
+         "--ratio", "2", "--filter-dir", str(phase_filter_dir),
+         "--shard-time", "2",
+         "--control-endpoint", endpoint,
+         "--duration", "120"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        client = DaemonClient(endpoint=endpoint, timeout_ms=20000)
+        _wait_ping(client, proc)
+        r = client.set_phase_type("linear")
+        assert r.ok, r.raw
+        assert client.get_phase_type().data["phase_type"] == "linear"
+        assert client.soft_reset().ok
+        assert client.shutdown().ok
+        assert proc.wait(timeout=60) == 0
+        out = proc.stdout.read()
+        assert "Sharded engine" in out
+        assert "linear_phase" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()

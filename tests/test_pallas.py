@@ -10,7 +10,7 @@ from totton_tpu.ops.overlap_save import (
     filter_spectrum,
     upsample_blocks,
 )
-from totton_tpu.ops.pallas_kernels import (
+from totton_tpu.experimental.pallas_kernels import (
     _pick_split,
     _uses_perm_e,
     fold_spectrum,

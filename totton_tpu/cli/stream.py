@@ -263,6 +263,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.control_endpoint:
         from totton_tpu.control.daemon import ControlDaemon
 
+        # Filter/EQ swaps act on the inner upsampler (the chain's post
+        # stages are filter-agnostic), but SOFT_RESET must clear the
+        # OUTERMOST engine: with --crossfeed the chain carries its own
+        # pending/FIFO audio that engine.reset() flushes and a bare
+        # upsampler.reset() would leave stale.
         upsampler = getattr(engine, "upsampler", engine)
         current_phase = {"value": "minimum" if phase in ("min", "minimum")
                          else "linear"}
@@ -319,7 +324,7 @@ def main(argv: list[str] | None = None) -> int:
         daemon = ControlDaemon(
             endpoint=args.control_endpoint,
             on_reload=on_reload,
-            on_soft_reset=upsampler.reset,
+            on_soft_reset=engine.reset,
             on_phase_change=on_phase_change,
             stats_path=args.stats_path,
             phase_type=current_phase["value"],

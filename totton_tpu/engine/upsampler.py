@@ -60,6 +60,11 @@ class StreamingUpsampler:
         # (the spectrum is a traced argument).
         self._swap_fade_frames = swap_fade_frames
         self._fade_from: tuple | None = None
+        # Output-sample position within an in-progress fade: the configured
+        # fade length is honored even when one dispatch is shorter than the
+        # window (low-latency mode dispatches a single block), by carrying
+        # the ramp across process_block calls.
+        self._fade_pos = 0
         # Serializes hot-swap (set_eq/load_filter/reset from a control
         # thread) against the streaming thread's process_block.
         self._lock = threading.Lock()
@@ -99,12 +104,14 @@ class StreamingUpsampler:
         with self._lock:
             self._tail = jnp.zeros_like(self._tail)
             self._fade_from = None
+            self._fade_pos = 0
 
     def _note_swap(self, old_spectrum: tuple) -> None:
         """Arm the crossfade (keep the ORIGINAL pre-swap spectrum if several
-        swaps land between two dispatches — fade from what was last heard)."""
+        swaps land during one fade — fade from what was last heard)."""
         if self._swap_fade_frames and self._fade_from is None:
             self._fade_from = old_spectrum
+            self._fade_pos = 0
 
     def set_eq(self, eq_response: np.ndarray | None) -> None:
         """Hot-swap the EQ baked into the filter spectrum.
@@ -135,6 +142,7 @@ class StreamingUpsampler:
                 # Geometry changed: old/new outputs have different shapes,
                 # and history restarts anyway — no crossfade possible.
                 self._fade_from = None
+                self._fade_pos = 0
             else:
                 self._note_swap(self._spectrum)
             self._spectrum = spectrum
@@ -161,17 +169,26 @@ class StreamingUpsampler:
             tail_before = self._tail
             xj = jnp.asarray(x)
             y, self._tail = self._step(tail_before, xj, self._spectrum)
-            fade_from, self._fade_from = self._fade_from, None
-            if fade_from is not None:
+            if self._fade_from is not None:
                 # One extra dispatch with the pre-swap spectrum (the tail is
                 # input-domain — identical for both), then a linear ramp
-                # old -> new over the first swap_fade_frames output samples.
-                y_old, _ = self._step(tail_before, xj, fade_from)
+                # old -> new over swap_fade_frames output samples. The ramp
+                # starts at exactly 0 (sample 0 is pure old filter) and is
+                # carried across dispatches when one dispatch is shorter
+                # than the configured window (single-block low-latency
+                # mode), so the full fade length is always honored.
+                y_old, _ = self._step(tail_before, xj, self._fade_from)
                 y = np.array(y)  # writable host copy
-                n = min(self._swap_fade_frames, y.shape[1])
-                ramp = (np.arange(1, n + 1, dtype=np.float32) / n)
+                total = self._swap_fade_frames
+                n = min(total - self._fade_pos, y.shape[1])
+                ramp = (self._fade_pos
+                        + np.arange(n, dtype=np.float32)) / total
                 y[:, :n] = (np.asarray(y_old)[:, :n] * (1.0 - ramp)
                             + y[:, :n] * ramp)
+                self._fade_pos += n
+                if self._fade_pos >= total:
+                    self._fade_from = None
+                    self._fade_pos = 0
                 return y
         return np.asarray(y)
 

@@ -1,4 +1,14 @@
-"""Fused Pallas kernel for overlap-save upsampling.
+"""Fused Pallas kernel for overlap-save upsampling — EXPERIMENTAL, NOT
+SHIPPED.
+
+Status: documented NO-GO on this environment (PERF.md round 2, "Fused
+Pallas kernel: NO-GO"): measured 9x slower than the XLA path on hardware
+(one frame per grid program -> ~1% MXU utilization), the XLA composition
+already runs 2x faster than its own isolated stages, and at 2x the XLA
+pipeline executes at ~97% of the calibrated matmul ceiling. Nothing
+imports this module from the production package; tests exercise it in
+interpret mode only, so hardware behavior claims below describe the
+round-1/2 measurement sessions, not a maintained path.
 
 The XLA-composed pipeline (ops/overlap_save.py) is data-movement bound:
 every FFT stage round-trips its [*, 65536]-pair intermediates through HBM

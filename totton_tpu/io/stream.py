@@ -33,6 +33,17 @@ from totton_tpu.utils.profiling import BlockTimer
 
 @dataclasses.dataclass
 class StreamStats:
+    """Counters for one streaming session.
+
+    In ThreadedStreamSession three threads mutate this concurrently
+    (feeder: frames_in/input_overflows; drainer: frames_out; main:
+    dispatch counters + the stats-file snapshot), so every mutation goes
+    through the add_*/count_* methods, which serialize on one lock, and
+    to_json snapshots under the same lock — counts are exact and a
+    snapshot can never tear (frames_in observed without its matching
+    overflow count, etc.).
+    """
+
     frames_in: int = 0
     frames_out: int = 0
     blocks_processed: int = 0
@@ -51,6 +62,31 @@ class StreamStats:
     sum_sq_out: float = 0.0
     metered_samples: int = 0
     clipped_samples: int = 0
+    _lock: threading.Lock = dataclasses.field(
+        default_factory=threading.Lock, repr=False, compare=False)
+
+    # -- cross-thread mutators ---------------------------------------------
+
+    def add_frames_in(self, n: int) -> None:
+        with self._lock:
+            self.frames_in += n
+
+    def add_frames_out(self, n: int) -> None:
+        with self._lock:
+            self.frames_out += n
+
+    def count_input_overflow(self) -> None:
+        with self._lock:
+            self.input_overflows += 1
+
+    def count_output_overflow(self) -> None:
+        with self._lock:
+            self.output_overflows += 1
+
+    def add_dispatch(self, blocks: int, seconds: float) -> None:
+        with self._lock:
+            self.blocks_processed += blocks
+            self.process_time_s += seconds
 
     @property
     def realtime_factor(self) -> float:
@@ -66,12 +102,14 @@ class StreamStats:
             return
         a = np.abs(y)
         peak = float(a.max())
-        if peak > self.peak_out:
-            self.peak_out = peak
-        self.sum_sq_out += float(np.einsum("...ij,...ij->", y, y,
-                                           dtype=np.float64))
-        self.metered_samples += y.size
-        self.clipped_samples += int(np.count_nonzero(a >= 1.0))
+        sum_sq = float(np.einsum("...ij,...ij->", y, y, dtype=np.float64))
+        clipped = int(np.count_nonzero(a >= 1.0))
+        with self._lock:
+            if peak > self.peak_out:
+                self.peak_out = peak
+            self.sum_sq_out += sum_sq
+            self.metered_samples += y.size
+            self.clipped_samples += clipped
 
     def _level_json(self) -> dict:
         def dbfs(power_ratio: float) -> float | None:
@@ -88,6 +126,10 @@ class StreamStats:
         }
 
     def to_json(self) -> dict:
+        with self._lock:
+            return self._to_json_locked()
+
+    def _to_json_locked(self) -> dict:
         return {
             "uptime_ms": int((time.monotonic() - self.start_time) * 1000),
             "input_rate": self.input_rate,
@@ -239,13 +281,14 @@ class StreamSession:
         t0 = time.monotonic()
         with self.stats.timer.measure():
             y = self.engine.process_block(frames)
-        self.stats.process_time_s += time.monotonic() - t0
-        self.stats.blocks_processed += frames.shape[1] // self.engine.block_input_frames
+        self.stats.add_dispatch(
+            frames.shape[1] // self.engine.block_input_frames,
+            time.monotonic() - t0)
         valid_out = valid_in_frames * self.engine.ratio
         out = y[:, :valid_out]
         self.stats.meter_output(out)
         self.sink.write_frames(out)
-        self.stats.frames_out += valid_out
+        self.stats.add_frames_out(valid_out)
 
     def run(self, max_frames: int | None = None) -> StreamStats:
         """Synchronous pump loop. Returns final stats."""
@@ -268,13 +311,13 @@ class StreamSession:
             if got == 0:
                 eof = True
             else:
-                self.stats.frames_in += got
+                self.stats.add_frames_in(got)
                 if frames_remaining is not None:
                     frames_remaining -= got
                 if not self._in_ring.write(chunk.T.ravel()):
                     # Overflow: drop accumulated audio (reference:
                     # alsa_streamer_main.cpp:516-521).
-                    self.stats.input_overflows += 1
+                    self.stats.count_input_overflow()
                     self._in_ring.clear()
                     self._in_ring.write(chunk.T.ravel())
 
@@ -378,7 +421,7 @@ class ThreadedStreamSession:
                 got = chunk.shape[1]
                 if got == 0:
                     break
-                self.stats.frames_in += got
+                self.stats.add_frames_in(got)
                 if remaining is not None:
                     remaining -= got
                 flat = chunk.T.ravel()
@@ -387,7 +430,7 @@ class ThreadedStreamSession:
                         return
                     if getattr(self.source, "realtime", False):
                         # Real-time capture can't wait: drop the chunk.
-                        self.stats.input_overflows += 1
+                        self.stats.count_input_overflow()
                         break
                     # File/pipe sources just wait for the compute side.
                     time.sleep(0.001)
@@ -402,7 +445,7 @@ class ThreadedStreamSession:
                 flat = self._out_ring.read(avail)
                 frames = flat.reshape(-1, self.channels).T
                 self.sink.write_frames(frames)
-                self.stats.frames_out += frames.shape[1]
+                self.stats.add_frames_out(frames.shape[1])
             elif self._compute_done.is_set():
                 return
             elif self._stop.is_set() and not avail:
@@ -414,10 +457,9 @@ class ThreadedStreamSession:
         t0 = time.monotonic()
         with self.stats.timer.measure():
             y = self.engine.process_block(frames)
-        self.stats.process_time_s += time.monotonic() - t0
-        self.stats.blocks_processed += (
-            frames.shape[1] // self.engine.block_input_frames
-        )
+        self.stats.add_dispatch(
+            frames.shape[1] // self.engine.block_input_frames,
+            time.monotonic() - t0)
         out = y[:, : valid_in * self.engine.ratio]
         self.stats.meter_output(out)
         self._write_out(out.T.ravel())
@@ -449,7 +491,7 @@ class ThreadedStreamSession:
                 return
             if self._low_latency and not counted:
                 counted = True
-                self.stats.output_overflows += 1
+                self.stats.count_output_overflow()
             time.sleep(0.002)
 
     def run(self, max_frames: int | None = None) -> StreamStats:

@@ -460,7 +460,7 @@ def upsample_frames(
     """[..., frame_in] input-rate frames -> [..., block_size] output blocks.
 
     Reversal-free folded formulation (shared with the fused Pallas kernel,
-    ops/pallas_kernels.py): the forward transform is the FULL m-point DFT
+    experimental/pallas_kernels.py): the forward transform is the FULL m-point DFT
     of the real frame (m = frame_in); its periodic tiling
     E[k] = Xf[k mod m] is the zero-stuffed spectrum; the inverse-real-FFT
     untangling and the filter multiply collapse into Z = E*G1 + E2*G2 via

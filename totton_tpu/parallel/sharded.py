@@ -152,6 +152,10 @@ class ShardedUpsampler:
         # first swap_fade_frames output samples of the step after a spectrum
         # swap from old to new (the fade window lives at the start of time
         # shard 0, where this step's output meets the previous step's).
+        # Unlike StreamingUpsampler the ramp is clamped to one step's output
+        # — a sharded step emits >= block_size * n_time samples (51072+ at
+        # the production geometry), far larger than any sensible fade, so
+        # the clamp never bites in practice.
         self._swap_fade_frames = swap_fade_frames
         self._fade_from = None
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
@@ -242,7 +246,19 @@ class ShardedUpsampler:
 
     def _note_swap(self, old_spectrum) -> None:
         """Arm the crossfade (keep the ORIGINAL pre-swap spectrum if several
-        swaps land between two steps)."""
+        swaps land between two steps).
+
+        Multi-process meshes never arm it: the fade's extra old-spectrum
+        dispatch would run only on the process whose control plane saw the
+        swap, and the sharded step contains collectives (the ppermute halo
+        exchange) — one host issuing a collective program the others never
+        dispatch is SPMD divergence that can deadlock the mesh. Until a
+        swap-broadcast exists, multi-process hot-swaps are abrupt (the
+        single-process reference behavior); single-process multi-device
+        meshes keep the click-free fade.
+        """
+        if jax.process_count() > 1:
+            return
         if self._swap_fade_frames and self._fade_from is None:
             self._fade_from = old_spectrum
 
@@ -353,8 +369,11 @@ class ShardedUpsampler:
             # The swap junction is global output position 0 of this step;
             # only the process owning time column 0 holds that span.
             old = self._local_output(y_old)
-            n = min(self._swap_fade_frames, out.shape[1])
-            ramp = np.arange(1, n + 1, dtype=np.float32) / n
+            # Same ramp convention as StreamingUpsampler: starts at exactly
+            # 0 (sample 0 pure old filter) over swap_fade_frames samples.
+            total = self._swap_fade_frames
+            n = min(total, out.shape[1])
+            ramp = np.arange(n, dtype=np.float32) / total
             out = np.array(out)
             out[:, :n] = old[:, :n] * (1.0 - ramp) + out[:, :n] * ramp
         return out
