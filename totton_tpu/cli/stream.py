@@ -38,8 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
-    p.add_argument("--in", dest="in_spec", help="input endpoint (null | path.wav | file:path | -)")
-    p.add_argument("--out", dest="out_spec", help="output endpoint (null | path.wav | file:path | -)")
+    p.add_argument("--in", dest="in_spec",
+                   help="input endpoint (null | path.wav | file:path | - | "
+                        "tcp://h:p | tcp-listen://[h]:p | unix:/p | "
+                        "unix-listen:/p)")
+    p.add_argument("--out", dest="out_spec",
+                   help="output endpoint (null | path.wav | file:path | - | "
+                        "tcp://h:p | tcp-listen://[h]:p | unix:/p | "
+                        "unix-listen:/p)")
     p.add_argument("--in-file", dest="in_file", help="raw PCM input file (interleaved)")
     p.add_argument("--out-file", dest="out_file", help="raw PCM output file (interleaved)")
     p.add_argument("--filter", help="filter JSON path (docs/filter_format.md)")
@@ -52,7 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upsample ratio for auto lookup")
     p.add_argument("--rate", type=int, help="input sample rate (Hz)")
     p.add_argument("--channels", type=int, default=2)
-    p.add_argument("--format", default="s32", help="PCM format (s16|s24|s32)")
+    p.add_argument("--format", default="s32",
+                   help="PCM format (s16|s24|s32; f32 = lossless float32, "
+                        "socket endpoints only)")
     p.add_argument("--period", type=int, default=4096, help="period frames")
     p.add_argument("--buffer", type=int, default=None,
                    help="buffer frames (default period*4)")
@@ -106,11 +114,14 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --rate is required in raw file mode", file=sys.stderr)
         return 2
 
-    try:
-        fmt = parse_format(args.format)
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    if args.format.lower() in ("f32", "float32", "float"):
+        fmt = None  # raw float32 wire format (socket endpoints only)
+    else:
+        try:
+            fmt = parse_format(args.format)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
 
     try:
         source = open_source(in_spec, fmt, args.channels, args.rate)
@@ -223,8 +234,12 @@ def main(argv: list[str] | None = None) -> int:
         engine = CrossfeedChain(engine, cf)
         print(f"Crossfeed enabled: {args.crossfeed} "
               f"({cf.filter.taps} taps/channel)", file=sys.stderr)
-    sink = open_sink(out_spec, input_rate * engine.ratio, fmt,
-                     dither=args.dither)
+    try:
+        sink = open_sink(out_spec, input_rate * engine.ratio, fmt,
+                         dither=args.dither)
+    except (OSError, ValueError) as e:
+        print(f"error: cannot open output {out_spec}: {e}", file=sys.stderr)
+        return 1
 
     session_cls = StreamSession
     if args.threaded:

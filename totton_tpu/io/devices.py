@@ -6,11 +6,18 @@ This module gives them a uniform frame interface plus a capability
 descriptor that plays the DAC-capability role in rate negotiation.
 
 Registry names mirror the reference CLI conventions:
-  "null"            -> NullSource / NullSink (reference e2e tests use the
-                        ALSA null device the same way)
-  "file:<path>"     -> raw float/PCM file
-  "wav:<path>"      -> WAV file
-  "-"               -> stdin/stdout raw PCM
+  "null"                    -> NullSource / NullSink (reference e2e tests
+                               use the ALSA null device the same way)
+  "file:<path>"             -> raw float/PCM file
+  "wav:<path>"              -> WAV file
+  "-"                       -> stdin/stdout raw PCM
+  "tcp://host:port"         -> framed PCM stream socket, active connect
+  "tcp-listen://[host]:port"-> same, bind + accept one peer
+  "unix:/path"              -> unix-domain stream socket, connect
+  "unix-listen:/path"       -> same, bind + accept one peer
+(socket wire format: totton_tpu.io.sockets — the live-transport analog of
+the reference's ALSA device loop for hosts where audio arrives over the
+network)
 """
 
 from __future__ import annotations
@@ -222,22 +229,43 @@ def list_devices() -> dict:
             {"id": "file:<path>", "name": "Raw PCM file sink"},
             {"id": "wav:<path>", "name": "WAV file sink"},
             {"id": "-", "name": "stdout raw PCM"},
+            {"id": "tcp://<host>:<port>", "name": "PCM stream socket (connect)"},
+            {"id": "tcp-listen://[host]:<port>",
+             "name": "PCM stream socket (listen)"},
+            {"id": "unix:<path>", "name": "Unix-domain PCM stream (connect)"},
+            {"id": "unix-listen:<path>",
+             "name": "Unix-domain PCM stream (listen)"},
         ],
         "capture": [
             {"id": "null", "name": "Null source (silence)"},
             {"id": "file:<path>", "name": "Raw PCM file source"},
             {"id": "wav:<path>", "name": "WAV file source"},
             {"id": "-", "name": "stdin raw PCM"},
+            {"id": "tcp://<host>:<port>", "name": "PCM stream socket (connect)"},
+            {"id": "tcp-listen://[host]:<port>",
+             "name": "PCM stream socket (listen)"},
+            {"id": "unix:<path>", "name": "Unix-domain PCM stream (connect)"},
+            {"id": "unix-listen:<path>",
+             "name": "Unix-domain PCM stream (listen)"},
         ],
     }
 
 
 def open_source(
     spec: str,
-    fmt: PcmFormat = PcmFormat.S32_LE,
+    fmt: PcmFormat | None = PcmFormat.S32_LE,
     channels: int = 2,
     sample_rate: int | None = None,
 ) -> AudioSource:
+    from totton_tpu.io.sockets import SocketSource, SocketSpec
+
+    if SocketSpec.matches(spec):
+        # format/channels/rate arrive in the stream header.
+        return SocketSource(spec)
+    if fmt is None:
+        raise ValueError(
+            "float32 wire format is socket-only; pick s16/s24/s32 for "
+            f"endpoint {spec!r}")
     if spec == "null":
         return NullSource(channels, sample_rate or 44100)
     if spec.startswith("wav:"):
@@ -251,10 +279,18 @@ def open_source(
 def open_sink(
     spec: str,
     sample_rate: int,
-    fmt: PcmFormat = PcmFormat.S32_LE,
+    fmt: PcmFormat | None = PcmFormat.S32_LE,
     dither: bool = False,
 ) -> AudioSink:
+    from totton_tpu.io.sockets import SocketSink, SocketSpec
+
     ditherer = TpdfDitherer() if dither else None
+    if SocketSpec.matches(spec):
+        return SocketSink(spec, sample_rate, fmt, ditherer)
+    if fmt is None:
+        raise ValueError(
+            "float32 wire format is socket-only; pick s16/s24/s32 for "
+            f"endpoint {spec!r}")
     if spec == "null":
         return NullSink()
     if spec.startswith("wav:"):
