@@ -94,10 +94,31 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ppermute halo exchange; 0 = single device)")
     p.add_argument("--shard-channel", type=int, default=1, metavar="N",
                    help="shard channels across N devices (with --shard-time)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: initialize jax.distributed (coordinator "
+                        "from --coordinator or JAX_COORDINATOR_ADDRESS env) "
+                        "before building the mesh; this process then feeds "
+                        "its own channel rows / time span and drains its own "
+                        "output (requires --rate; --channels is the GLOBAL "
+                        "channel count)")
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="jax.distributed coordinator address "
+                        "(default $JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num-processes", type=int,
+                   help="total processes (default $JAX_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int,
+                   help="this process's id (default $JAX_PROCESS_ID)")
     p.add_argument("--control-endpoint", metavar="ENDPOINT",
                    help="serve the ZMQ control protocol from inside the "
                         "streamer (RELOAD/SOFT_RESET/PHASE_TYPE_* act on "
-                        "the live engine; e.g. ipc:///tmp/totton_zmq.sock)")
+                        "the live engine; e.g. ipc:///tmp/totton_zmq.sock). "
+                        "Multi-host: only process 0 serves it")
+    p.add_argument("--control-pub-endpoint", metavar="ENDPOINT",
+                   help="control-event PUB endpoint. Multi-host fan-out: "
+                        "process 0 binds it and publishes every state-"
+                        "changing command; the other processes subscribe and "
+                        "replay it on their engine shard (pass the same "
+                        "tcp:// value on every host)")
     return p
 
 
@@ -123,8 +144,40 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
 
+    # Multi-host init + mesh come BEFORE the endpoints: on a multi-process
+    # mesh this process opens a source/sink for only its own channel rows
+    # and time span (each host feeds/drains its local block; no host ever
+    # holds the global signal — parallel/sharded.py ingest contract).
+    mesh = None
+    n_procs = 1
+    process_index = 0
+    local_channels = args.channels
+    if args.distributed:
+        from totton_tpu.parallel import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+    if args.shard_time:
+        import jax
+
+        from totton_tpu.parallel import make_mesh
+        from totton_tpu.parallel.sharded import ShardedUpsampler as _Sharded
+
+        mesh = make_mesh(n_channel=args.shard_channel,
+                         n_time=args.shard_time)
+        n_procs = jax.process_count()
+        process_index = jax.process_index()
+        if n_procs > 1:
+            rows, _cols = _Sharded._resolve_local_block(mesh)
+            local_channels = (args.channels // mesh.shape["channel"]
+                              * len(rows))
+    elif args.distributed:
+        print("error: --distributed needs a sharded engine "
+              "(--shard-time N [--shard-channel M])", file=sys.stderr)
+        return 2
+
     try:
-        source = open_source(in_spec, fmt, args.channels, args.rate)
+        source = open_source(in_spec, fmt, local_channels, args.rate)
     except (OSError, ValueError) as e:
         print(f"error: cannot open input {in_spec}: {e}", file=sys.stderr)
         return 1
@@ -210,15 +263,20 @@ def main(argv: list[str] | None = None) -> int:
     if eq_desc:
         print(f"EQ profile baked in: {eq_desc}", file=sys.stderr)
 
-    if args.shard_time:
-        from totton_tpu.parallel import ShardedUpsampler, make_mesh
+    if mesh is not None:
+        from totton_tpu.parallel import ShardedUpsampler
 
-        mesh = make_mesh(n_channel=args.shard_channel, n_time=args.shard_time)
-        engine = ShardedUpsampler(loaded, mesh, channels=source.channels,
+        # Multi-process: --channels is the GLOBAL count and the source
+        # carries this host's rows; single-process: trust the source
+        # (a WAV header may have refined it).
+        global_channels = args.channels if n_procs > 1 else source.channels
+        engine = ShardedUpsampler(loaded, mesh, channels=global_channels,
                                   eq_response=eq_response,
                                   swap_fade_frames=args.swap_fade)
-        print(f"Sharded engine: mesh {dict(mesh.shape)}, dispatch granule "
-              f"{engine.block_input_frames} input frames", file=sys.stderr)
+        print(f"Sharded engine: mesh {dict(mesh.shape)}, "
+              f"process {process_index}/{n_procs}, dispatch granule "
+              f"{engine.local_block_input_frames} local input frames "
+              f"({engine.local_channels} local channels)", file=sys.stderr)
     else:
         engine = StreamingUpsampler(loaded, channels=source.channels,
                                     eq_response=eq_response,
@@ -275,7 +333,10 @@ def main(argv: list[str] | None = None) -> int:
     # is a counter-only stub and RELOAD needs a container restart,
     # SURVEY.md L1 note), these commands act on the live engine.
     daemon = None
-    if args.control_endpoint:
+    follower = None
+    is_leader = process_index == 0
+    if (args.control_endpoint and is_leader) or (
+            args.control_pub_endpoint and not is_leader):
         from totton_tpu.control.daemon import ControlDaemon
 
         # Filter/EQ swaps act on the inner upsampler (the chain's post
@@ -287,11 +348,20 @@ def main(argv: list[str] | None = None) -> int:
         current_phase = {"value": "minimum" if phase in ("min", "minimum")
                          else "linear"}
 
+        startup_phase = current_phase["value"]
+
         def reload_filter(phase: str) -> None:
-            path = resolve_filter_path(
-                filter_path=None, filter_dir=args.filter_dir, phase=phase,
-                ratio=upsampler.ratio, input_rate=input_rate,
-            )
+            # An explicitly pinned --filter stays pinned across RELOADs
+            # (the reload's purpose is then EQ/config re-read); directory
+            # resolution happens only for auto lookup or a phase CHANGE,
+            # which a pinned single file can't serve.
+            if args.filter and phase == startup_phase:
+                path = args.filter
+            else:
+                path = resolve_filter_path(
+                    filter_path=None, filter_dir=args.filter_dir, phase=phase,
+                    ratio=upsampler.ratio, input_rate=input_rate,
+                )
             try:
                 eq, desc = resolve_eq_response(
                     upsampler.config.fft_size, input_rate * upsampler.ratio)
@@ -330,29 +400,52 @@ def main(argv: list[str] | None = None) -> int:
             current_phase["value"] = phase
             # Persist so the next RELOAD / restart keeps this phase
             # (the reference's PHASE_TYPE_SET silently reverts on restart).
-            if args.config_path:
+            # Only the leader writes: config.json may be a shared file and
+            # followers replaying the published event must not race it.
+            if args.config_path and is_leader:
                 from totton_tpu.web.services.config import save_config_updates
 
                 save_config_updates({"filter": {"phaseType": phase}},
                                     Path(args.config_path))
 
-        daemon = ControlDaemon(
-            endpoint=args.control_endpoint,
-            on_reload=on_reload,
-            on_soft_reset=engine.reset,
-            on_phase_change=on_phase_change,
-            stats_path=args.stats_path,
-            phase_type=current_phase["value"],
-        )
-        daemon.start()
-        print(f"Control endpoint: {args.control_endpoint}", file=sys.stderr)
+        if is_leader:
+            daemon = ControlDaemon(
+                endpoint=args.control_endpoint,
+                pub_endpoint=args.control_pub_endpoint,
+                on_reload=on_reload,
+                on_soft_reset=engine.reset,
+                on_phase_change=on_phase_change,
+                stats_path=args.stats_path,
+                phase_type=current_phase["value"],
+            )
+            daemon.start()
+            print(f"Control endpoint: {args.control_endpoint}"
+                  + (f" (publishing on {args.control_pub_endpoint})"
+                     if args.control_pub_endpoint else ""), file=sys.stderr)
 
-        import threading
+            import threading
 
-        threading.Thread(
-            target=lambda: (daemon.wait_for_shutdown(), session.stop()),
-            daemon=True, name="totton-shutdown-watch",
-        ).start()
+            threading.Thread(
+                target=lambda: (daemon.wait_for_shutdown(), session.stop()),
+                daemon=True, name="totton-shutdown-watch",
+            ).start()
+        else:
+            # Non-leader processes replay the leader's published commands
+            # on their local engine shard (multi-host control fan-out) —
+            # a swap applied on one host only would diverge the replicated
+            # spectrum across the mesh.
+            from totton_tpu.control.follower import ControlFollower
+
+            follower = ControlFollower(
+                args.control_pub_endpoint,
+                on_reload=on_reload,
+                on_soft_reset=engine.reset,
+                on_phase_change=on_phase_change,
+                on_shutdown=session.stop,
+            )
+            follower.start()
+            print(f"Control follower of {args.control_pub_endpoint}",
+                  file=sys.stderr)
 
     max_frames = None
     if args.duration:
@@ -366,6 +459,8 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if daemon is not None:
             daemon.stop()
+        if follower is not None:
+            follower.stop()
         source.close()
         sink.close()
     print("Streaming stopped", file=sys.stderr)

@@ -11,10 +11,12 @@ PHASE_TYPE_GET/SET, LIST_ALSA_DEVICES, SHUTDOWN.
 from totton_tpu.control.server import ZmqCommandServer
 from totton_tpu.control.client import DaemonClient
 from totton_tpu.control.daemon import ControlDaemon, DEFAULT_ENDPOINT
+from totton_tpu.control.follower import ControlFollower
 
 __all__ = [
     "ZmqCommandServer",
     "DaemonClient",
     "ControlDaemon",
+    "ControlFollower",
     "DEFAULT_ENDPOINT",
 ]

@@ -156,6 +156,9 @@ class ControlDaemon:
         return build_ok(self._list_devices())
 
     def _handle_shutdown(self, req: ZmqRequest) -> str:
+        # Publish BEFORE signaling shutdown: once the server stops, the PUB
+        # socket is gone and followers would never hear it.
+        self._publish_event("shutdown")
         self._shutdown.set()
         return build_ok({"shutdown": True})
 

@@ -243,9 +243,14 @@ class StreamSession:
         self.source = source
         self.sink = sink
         self.engine = engine
-        block_in = engine.block_input_frames
+        # Multi-process sharded engines expose per-process granules: this
+        # process feeds only its local channel rows / time span.
+        block_in = (getattr(engine, "local_block_input_frames", None)
+                    or engine.block_input_frames)
+        self.block_input_frames = block_in
         self.period_frames = max(1, min(period_frames, block_in))
-        self.channels = engine.channels
+        self.channels = (getattr(engine, "local_channels", None)
+                         or engine.channels)
         low_latency = _is_low_latency(source)
         if max_batch_blocks is None:
             max_batch_blocks = _auto_batch_blocks(source,
@@ -282,7 +287,7 @@ class StreamSession:
         with self.stats.timer.measure():
             y = self.engine.process_block(frames)
         self.stats.add_dispatch(
-            frames.shape[1] // self.engine.block_input_frames,
+            frames.shape[1] // self.block_input_frames,
             time.monotonic() - t0)
         valid_out = valid_in_frames * self.engine.ratio
         out = y[:, :valid_out]
@@ -292,7 +297,7 @@ class StreamSession:
 
     def run(self, max_frames: int | None = None) -> StreamStats:
         """Synchronous pump loop. Returns final stats."""
-        block_in = self.engine.block_input_frames
+        block_in = self.block_input_frames
         frames_remaining = max_frames
         eof = False
         while not self._stop.is_set() and not eof:
@@ -376,9 +381,12 @@ class ThreadedStreamSession:
         self.source = source
         self.sink = sink
         self.engine = engine
-        block_in = engine.block_input_frames
+        block_in = (getattr(engine, "local_block_input_frames", None)
+                    or engine.block_input_frames)
+        self.block_input_frames = block_in
         self.period_frames = max(1, min(period_frames, block_in))
-        self.channels = engine.channels
+        self.channels = (getattr(engine, "local_channels", None)
+                         or engine.channels)
         low_latency = _is_low_latency(source)
         if max_batch_blocks is None:
             max_batch_blocks = _auto_batch_blocks(source, 8)
@@ -458,7 +466,7 @@ class ThreadedStreamSession:
         with self.stats.timer.measure():
             y = self.engine.process_block(frames)
         self.stats.add_dispatch(
-            frames.shape[1] // self.engine.block_input_frames,
+            frames.shape[1] // self.block_input_frames,
             time.monotonic() - t0)
         out = y[:, : valid_in * self.engine.ratio]
         self.stats.meter_output(out)
@@ -495,7 +503,7 @@ class ThreadedStreamSession:
             time.sleep(0.002)
 
     def run(self, max_frames: int | None = None) -> StreamStats:
-        block_in = self.engine.block_input_frames
+        block_in = self.block_input_frames
         feeder = threading.Thread(
             target=self._feeder, args=(max_frames,), name="totton-feeder"
         )

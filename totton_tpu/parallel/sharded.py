@@ -239,6 +239,16 @@ class ShardedUpsampler:
     def channels(self) -> int:
         return self._channels
 
+    @property
+    def local_block_input_frames(self) -> int:
+        """This process's share of one dispatch granule: the input frames a
+        stream session must feed process_block per call. Equals
+        block_input_frames single-process; on a multi-process mesh it is
+        the granule's slice over this process's time columns."""
+        n_time = self.mesh.shape["time"]
+        return (self.block_input_frames // n_time
+                * len(self._local_time_cols))
+
     def reset(self) -> None:
         with self._lock:
             self._tail = jnp.zeros_like(self._tail)
