@@ -314,3 +314,30 @@ class TestOutputMetering:
         j = StreamStats().to_json()["output_level"]
         assert j["peak_dbfs"] is None and j["rms_dbfs"] is None
         assert j["clipped_samples"] == 0
+
+
+class TestLiveDither:
+    """RELOAD re-reads config's alsa.dither: sinks swap their output
+    ditherer live (round-2 advisor: the web toggle silently required a
+    restart)."""
+
+    def test_raw_sink_toggles(self, tmp_path):
+        from totton_tpu.io.devices import RawFileSink
+        from totton_tpu.io.pcm import PcmFormat, TpdfDitherer
+
+        sink = RawFileSink(str(tmp_path / "o.raw"), PcmFormat.S16_LE)
+        assert sink._ditherer is None
+        assert sink.set_dither(True) is True
+        assert isinstance(sink._ditherer, TpdfDitherer)
+        assert sink.set_dither(False) is True
+        assert sink._ditherer is None
+        sink.close()
+
+    def test_wav_and_socket_sinks_support_it(self, tmp_path):
+        from totton_tpu.io.devices import NullSink, WavFileSink
+        from totton_tpu.io.sockets import SocketSink
+
+        assert WavFileSink(str(tmp_path / "o.wav"), 44100).set_dither(True)
+        assert hasattr(SocketSink, "set_dither")  # inherits the swap
+        # Null sink does not quantize: reports not-applied.
+        assert NullSink().set_dither(True) is False

@@ -47,7 +47,8 @@ def test_config_eq_tracked_across_reload(phase_filter_dir, tmp_path):
     endpoint = f"ipc://{tmp_path}/cfg_eq.sock"
     proc = subprocess.Popen(
         [sys.executable, "-m", "totton_tpu.cli.stream",
-         "--in", "null", "--out", "null", "--rate", "352800",
+         "--in", "null", "--out", str(tmp_path / "out.wav"),
+         "--rate", "352800",
          "--ratio", "2", "--filter-dir", str(phase_filter_dir),
          "--config", str(cfg),
          "--control-endpoint", endpoint,
@@ -74,8 +75,10 @@ def test_config_eq_tracked_across_reload(phase_filter_dir, tmp_path):
         }))
         assert client.reload_config().ok
 
-        # Disable: reload goes back to the clean filter.
-        cfg.write_text(json.dumps({"eqEnabled": False}))
+        # Disable: reload goes back to the clean filter. alsa.dither in
+        # the same config write reaches the live sink (web toggle flow).
+        cfg.write_text(json.dumps({"eqEnabled": False,
+                                   "alsa": {"dither": True}}))
         assert client.reload_config().ok
 
         # RELOAD adopts config's filter.phaseType (settings-page PATCH flow).
@@ -97,6 +100,7 @@ def test_config_eq_tracked_across_reload(phase_filter_dir, tmp_path):
         out = proc.stdout.read()
         assert "+ EQ" in out and "boost.txt" in out
         assert "EQ skipped" in out
+        assert "Live dither: on" in out
         # The final reload line carries no EQ suffix.
         last_reload = [l for l in out.splitlines()
                        if l.startswith("Live reload:")][-1]

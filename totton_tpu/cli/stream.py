@@ -390,6 +390,15 @@ def main(argv: list[str] | None = None) -> int:
                     current_phase["value"] = phase
                     if daemon is not None:
                         daemon.phase_type = phase
+                # alsa.dither is live too: the web settings toggle writes
+                # config then RELOADs, so swap the sink's ditherer here
+                # (round-2 advisor finding: the toggle looked live but
+                # only took effect at container restart).
+                if settings.alsa and settings.alsa.dither is not None:
+                    if sink.set_dither(bool(settings.alsa.dither)):
+                        print("Live dither: "
+                              + ("on" if settings.alsa.dither else "off"),
+                              file=sys.stderr)
             reload_filter(current_phase["value"])
 
         def on_phase_change(phase: str) -> None:

@@ -83,6 +83,16 @@ class AudioSink:
     def write_frames(self, x: np.ndarray) -> None:
         raise NotImplementedError
 
+    def set_dither(self, enabled: bool) -> bool:
+        """Swap the output-quantization ditherer live (True if this sink
+        quantizes and took the change). Lets RELOAD re-read config's
+        alsa.dither so the web settings toggle reaches the running engine
+        without a restart."""
+        if not hasattr(self, "_ditherer"):
+            return False
+        self._ditherer = TpdfDitherer() if enabled else None
+        return True
+
     def close(self) -> None:
         pass
 
