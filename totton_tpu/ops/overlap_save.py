@@ -237,6 +237,18 @@ def _fold_g(spectrum, fft_size: int):
 #: matmuls don't amortize and the folded pipeline wins.
 _ABSORBED_MIN_FRAMES = 32
 
+#: Final-stage formulation of the absorbed path: "stack" (separate Re/Im
+#: stage-2 matmuls + an explicit interleave pass) or "einsum" (interleave
+#: absorbed into the stage-2 output layout). Env knob for same-session
+#: hardware A/B (benchmarks/bench_interleave.py); default = the measured
+#: winner: einsum runs 1.19x faster at 16x/80k-tap/1024-block on the real
+#: chip (5.22 vs 4.38 G samples/s, PERF.md round 3) — the interleave was
+#: the pipeline's last full-output HBM pass and absorbing it into the
+#: stage-2 weights deletes that pass for zero extra FLOPs.
+import os as _os
+
+_STAGE2_INTERLEAVE = _os.environ.get("TOTTON_STAGE2_INTERLEAVE", "einsum")
+
 
 def _absorbed_eligible(cfg: OverlapSaveConfig, n_frames: int) -> bool:
     """The tile-absorbed inverse applies when the half-size inverse is a
@@ -300,6 +312,32 @@ def _stage2_matrix(q2: int, p2: int, k2_0: int):
     qq, kk = np.meshgrid(np.arange(q2), np.arange(k2_0, q2), indexing="ij")
     ang = 2.0 * np.pi * ((qq * kk) % q2) / q2
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _stage2_matrix_interleaved(q2: int, p2: int, k2_0: int):
+    """Stage-2 weights with the even/odd output interleave ABSORBED.
+
+    The pipeline's last full-array pass is out[2j] = Re z[j],
+    out[2j+1] = Im z[j] (a stack + reshape). Emitting the stage-2 einsum
+    as [..., k2', k1, e] with an explicit e (even/odd) axis on the weights
+    makes the interleaved natural order ((k2'*P2 + k1)*2 + e) a pure
+    reshape of the matmul output — the stack pass never exists:
+
+      out[..., m, k, e] = sum_q cr A[q, m, e] + ci B[q, m, e]
+      A[:, :, 0] = W2_re, A[:, :, 1] = W2_im   (Re/Im from cr)
+      B[:, :, 0] = -W2_im, B[:, :, 1] = W2_re  (Re/Im from ci)
+
+    Measured on the real chip against the stacked formulation (PERF.md
+    round 3): 1.19x end-to-end at 16x/80k-tap/1024-block dispatch — now
+    the default. The cost is 2x the stage-2 weight bytes (A and B each
+    carry both Re and Im planes), which is static and tiny next to the
+    deleted per-frame full-output pass.
+    """
+    w2_r, w2_i = _stage2_matrix(q2, p2, k2_0)
+    a = np.stack([w2_r, w2_i], axis=-1)
+    b = np.stack([-w2_i, w2_r], axis=-1)
+    return np.ascontiguousarray(a), np.ascontiguousarray(b)
 
 
 def _pruned_half_inverse(zr, zi, h: int, j0: int):
@@ -435,6 +473,19 @@ def _upsample_frames_absorbed(
     j0 = cfg.overlap // 2
     k2_0 = _aligned_k2_0(j0, p2, q2)
     rem = j0 - k2_0 * p2
+    if _STAGE2_INTERLEAVE == "einsum":
+        # Even/odd interleave absorbed into the stage-2 output layout
+        # (see _stage2_matrix_interleaved): the matmul emits
+        # [..., k2', k1, e] and the interleaved block is a pure reshape —
+        # the final stack pass of the stacked formulation never exists.
+        a2, b2 = _stage2_matrix_interleaved(q2, p2, k2_0)
+        out = (
+            jnp.einsum("...kq,qme->...mke", cr, a2,
+                       precision=_fft._PRECISION)
+            + jnp.einsum("...kq,qme->...mke", ci, b2,
+                         precision=_fft._PRECISION)
+        ).reshape(frames.shape[:-1] + (-1,))
+        return out[..., 2 * rem : 2 * rem + cfg.block_size]
     w2_r, w2_i = _stage2_matrix(q2, p2, k2_0)
     # Stage 2 emits [..., k2', k1] directly (einsum output order) — the
     # z-domain natural order j = k2*P2 + k1 is then a pure reshape, no
