@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dither", action="store_true",
                    help="TPDF-dither the float->PCM output quantization "
                         "(recommended for s16/s24 output)")
+    p.add_argument("--device-pcm", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="quantize float->s16 ON the device (halves the "
+                        "device->host transfer — the e2e bottleneck on "
+                        "bandwidth-limited host links). auto: enabled for "
+                        "s16 output on the plain engine (not sharded / "
+                        "crossfeed); bit-exact with the host conversion")
     p.add_argument("--swap-fade", type=int, default=4096, metavar="FRAMES",
                    help="crossfade length (output frames) for live filter/EQ "
                         "hot-swaps — click-free RELOAD (0 = abrupt swap)")
@@ -263,6 +270,20 @@ def main(argv: list[str] | None = None) -> int:
     if eq_desc:
         print(f"EQ profile baked in: {eq_desc}", file=sys.stderr)
 
+    # On-device s16 quantization: the engine emits final int16 samples and
+    # the device->host transfer halves (ops/device_pcm.py). The sharded
+    # engine and the crossfeed chain keep the float path (their output
+    # stages live outside the plain upsampler).
+    from totton_tpu.io.pcm import PcmFormat
+
+    pcm_eligible = (fmt is PcmFormat.S16_LE and mesh is None
+                    and not args.crossfeed)
+    if args.device_pcm == "on" and not pcm_eligible:
+        print("error: --device-pcm on requires --format s16 and no "
+              "--shard-time/--crossfeed", file=sys.stderr)
+        return 2
+    device_pcm_on = (args.device_pcm != "off") and pcm_eligible
+
     if mesh is not None:
         from totton_tpu.parallel import ShardedUpsampler
 
@@ -278,9 +299,16 @@ def main(argv: list[str] | None = None) -> int:
               f"{engine.local_block_input_frames} local input frames "
               f"({engine.local_channels} local channels)", file=sys.stderr)
     else:
-        engine = StreamingUpsampler(loaded, channels=source.channels,
-                                    eq_response=eq_response,
-                                    swap_fade_frames=args.swap_fade)
+        engine = StreamingUpsampler(
+            loaded, channels=source.channels,
+            eq_response=eq_response,
+            swap_fade_frames=args.swap_fade,
+            device_pcm=PcmFormat.S16_LE if device_pcm_on else None,
+            pcm_dither=args.dither and device_pcm_on)
+        if device_pcm_on:
+            print("Device PCM: s16 quantization on-device"
+                  + (" (TPDF dither)" if args.dither else ""),
+                  file=sys.stderr)
     if args.crossfeed:
         from totton_tpu.engine.chain import CrossfeedChain
         from totton_tpu.engine.crossfeed import CrossfeedFilter, CrossfeedProcessor
@@ -293,8 +321,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Crossfeed enabled: {args.crossfeed} "
               f"({cf.filter.taps} taps/channel)", file=sys.stderr)
     try:
+        # Device-PCM mode: the engine's samples are final — the sink must
+        # not re-dither them.
         sink = open_sink(out_spec, input_rate * engine.ratio, fmt,
-                         dither=args.dither)
+                         dither=args.dither and not device_pcm_on)
     except (OSError, ValueError) as e:
         print(f"error: cannot open output {out_spec}: {e}", file=sys.stderr)
         return 1
@@ -394,8 +424,11 @@ def main(argv: list[str] | None = None) -> int:
                 # config then RELOADs, so swap the sink's ditherer here
                 # (round-2 advisor finding: the toggle looked live but
                 # only took effect at container restart).
+                # In device-PCM mode the ENGINE owns quantization, so the
+                # toggle targets it; otherwise the sink.
                 if settings.alsa and settings.alsa.dither is not None:
-                    if sink.set_dither(bool(settings.alsa.dither)):
+                    quantizer = (upsampler if device_pcm_on else sink)
+                    if quantizer.set_dither(bool(settings.alsa.dither)):
                         print("Live dither: "
                               + ("on" if settings.alsa.dither else "off"),
                               file=sys.stderr)

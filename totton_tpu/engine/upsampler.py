@@ -16,6 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from totton_tpu.filters.sidecar import LoadedFilter, load_filter
+from totton_tpu.io.pcm import PcmFormat
 from totton_tpu.ops.overlap_save import (
     OverlapSaveConfig,
     filter_spectrum,
@@ -38,11 +39,21 @@ class StreamingUpsampler:
         channels: int = 2,
         eq_response: np.ndarray | None = None,
         swap_fade_frames: int = 0,
+        device_pcm: "PcmFormat | None" = None,
+        pcm_dither: bool = False,
+        pcm_seed: int | None = None,
     ) -> None:
         if channels < 1:
             raise ValueError(f"channels must be >= 1: {channels}")
         if swap_fade_frames < 0:
             raise ValueError(f"swap_fade_frames must be >= 0: {swap_fade_frames}")
+        if device_pcm is not None and device_pcm is not PcmFormat.S16_LE:
+            # s24/s32 transfer as int32 = 4 B/sample, same as float32 —
+            # no device->host win, and their host paths carry the
+            # reference-exact (and float64-dither) contracts. See
+            # ops/device_pcm.py.
+            raise ValueError(
+                f"device_pcm supports S16_LE only, got {device_pcm}")
         self._filter = filt
         self._channels = channels
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
@@ -68,6 +79,21 @@ class StreamingUpsampler:
         # Serializes hot-swap (set_eq/load_filter/reset from a control
         # thread) against the streaming thread's process_block.
         self._lock = threading.Lock()
+        # Device-PCM mode: process_block returns quantized int16 sample
+        # values instead of float32 — on-device clamp/scale/[dither]/cast
+        # halves the device->host transfer (ops/device_pcm.py rationale).
+        self.device_pcm = device_pcm
+        self._pcm_dither = bool(pcm_dither)
+        self._pcm_seed = 0 if pcm_seed is None else pcm_seed
+        self._pcm_counter = 0
+        self._pcm_key = None
+        # Host twin for the crossfade dispatches (which mix old/new filter
+        # output in host float before quantizing).
+        self._host_ditherer = None
+        if device_pcm is not None and self._pcm_dither:
+            from totton_tpu.io.pcm import TpdfDitherer
+
+            self._host_ditherer = TpdfDitherer(self._pcm_seed)
 
     @classmethod
     def from_file(
@@ -112,6 +138,36 @@ class StreamingUpsampler:
         if self._swap_fade_frames and self._fade_from is None:
             self._fade_from = old_spectrum
             self._fade_pos = 0
+
+    def set_dither(self, enabled: bool) -> bool:
+        """Swap output dithering live (device-PCM mode only; in float mode
+        quantization — and thus dither — belongs to the sink). Mirrors
+        AudioSink.set_dither so the CLI's RELOAD path can target whichever
+        side owns the quantizer."""
+        if self.device_pcm is None:
+            return False
+        with self._lock:
+            self._pcm_dither = bool(enabled)
+            if enabled and self._host_ditherer is None:
+                from totton_tpu.io.pcm import TpdfDitherer
+
+                self._host_ditherer = TpdfDitherer(self._pcm_seed)
+        return True
+
+    def _quantize_device(self, y):
+        """Device-side s16 quantization of the step output (y still on
+        device): the device->host transfer below moves int16, not float32."""
+        from totton_tpu.ops import device_pcm as _dp
+
+        if self._pcm_dither:
+            import jax
+
+            if self._pcm_key is None:
+                self._pcm_key = jax.random.PRNGKey(self._pcm_seed)
+            self._pcm_counter += 1
+            return _dp.quantize_s16_dithered(
+                y, self._pcm_key, jnp.uint32(self._pcm_counter))
+        return _dp.quantize_s16(y)
 
     def set_eq(self, eq_response: np.ndarray | None) -> None:
         """Hot-swap the EQ baked into the filter spectrum.
@@ -189,7 +245,16 @@ class StreamingUpsampler:
                 if self._fade_pos >= total:
                     self._fade_from = None
                     self._fade_pos = 0
+                if self.device_pcm is not None:
+                    # Fade dispatches mix in host float; quantize with the
+                    # host twin so the output dtype contract holds.
+                    from totton_tpu.io.pcm import quantize_s16_host
+
+                    return quantize_s16_host(
+                        y, self._host_ditherer if self._pcm_dither else None)
                 return y
+            if self.device_pcm is not None:
+                return np.asarray(self._quantize_device(y))
         return np.asarray(y)
 
 

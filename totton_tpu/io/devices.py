@@ -93,6 +93,16 @@ class AudioSink:
         self._ditherer = TpdfDitherer() if enabled else None
         return True
 
+    def write_quantized(self, x: np.ndarray) -> None:
+        """Write already-quantized int16 sample values [channels, n]
+        (engine device-PCM mode — quantization happened on the TPU;
+        ops/device_pcm.py). Sinks with an s16 byte stream override this to
+        pack directly; the fallback converts to the exact float32
+        representation (int16 is exactly representable) and uses the
+        normal path. Callers must open the sink UNdithered in this mode —
+        the samples are final, re-dithering would double the noise."""
+        self.write_frames(np.asarray(x, np.float32) * np.float32(1 / 32768.0))
+
     def close(self) -> None:
         pass
 
@@ -121,6 +131,9 @@ class NullSink(AudioSink):
         self.capability = SinkCapability.unconstrained("null")
 
     def write_frames(self, x: np.ndarray) -> None:
+        self.frames_written += np.atleast_2d(x).shape[1]
+
+    def write_quantized(self, x: np.ndarray) -> None:
         self.frames_written += np.atleast_2d(x).shape[1]
 
 
@@ -165,6 +178,15 @@ class RawFileSink(AudioSink):
             float_to_pcm(interleave(np.atleast_2d(x)), self._fmt,
                          self._ditherer)
         )
+
+    def write_quantized(self, x: np.ndarray) -> None:
+        if self._fmt is PcmFormat.S16_LE:
+            # Device-quantized samples ARE the byte stream: interleave and
+            # write, no host conversion pass at all.
+            self._f.write(
+                interleave(np.atleast_2d(x)).astype("<i2").tobytes())
+            return
+        super().write_quantized(x)
 
     def close(self) -> None:
         self._f.flush()

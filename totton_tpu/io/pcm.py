@@ -149,6 +149,20 @@ class TpdfDitherer:
         return _pack_ints(vals, fmt)
 
 
+def quantize_s16_host(x: np.ndarray,
+                      ditherer: "TpdfDitherer | None" = None) -> np.ndarray:
+    """float32 [..., n] -> int16 sample VALUES (same shape, not packed).
+
+    The host twin of ops.device_pcm.quantize_s16 — used for the dispatches
+    that must stay on the host float path (hot-swap crossfade mixing) when
+    the engine runs in device-PCM mode. Bit-compatible with float_to_pcm
+    by construction: it IS float_to_pcm's byte output viewed as int16.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    raw = float_to_pcm(x, PcmFormat.S16_LE, ditherer)
+    return np.frombuffer(raw, dtype="<i2").reshape(x.shape)
+
+
 def deinterleave(x: np.ndarray, channels: int) -> np.ndarray:
     """Interleaved [n*channels] -> [channels, n]."""
     x = np.asarray(x)

@@ -282,6 +282,17 @@ class SocketSink(AudioSink):
             raw = float_to_pcm(flat, self._fmt, self._ditherer)
         self._sock.sendall(raw)
 
+    def write_quantized(self, x: np.ndarray) -> None:
+        if self._fmt is not PcmFormat.S16_LE:
+            super().write_quantized(x)
+            return
+        x = np.atleast_2d(x)
+        if not self._header_sent:
+            self._sock.sendall(
+                pack_header(self._fmt, x.shape[0], self._rate))
+            self._header_sent = True
+        self._sock.sendall(interleave(x).astype("<i2").tobytes())
+
     def close(self) -> None:
         try:
             self._sock.shutdown(socket.SHUT_WR)  # EOF for the peer

@@ -96,14 +96,26 @@ class StreamStats:
             return 0.0
         return (self.frames_out / self.process_time_s) / self.output_rate
 
-    def meter_output(self, y: np.ndarray) -> None:
-        """Fold one emitted batch into the level meters (~5 ns/sample)."""
+    def meter_output(self, y: np.ndarray,
+                     scale: float | None = None) -> None:
+        """Fold one emitted batch into the level meters (~5 ns/sample).
+
+        `scale` marks a quantized (device-PCM) batch of integer sample
+        values: levels are normalized to full scale, and samples at the
+        rails stand in for the float path's pre-clamp >= 1.0 clip count
+        (the over-range excursion itself was clamped on the device)."""
         if y.size == 0:
             return
-        a = np.abs(y)
-        peak = float(a.max())
+        if scale is not None:
+            clipped = int(np.count_nonzero(y >= scale - 1)
+                          + np.count_nonzero(y <= -scale))
+            y = y.astype(np.float32) * np.float32(1.0 / scale)
+            peak = float(np.abs(y).max())
+        else:
+            a = np.abs(y)
+            peak = float(a.max())
+            clipped = int(np.count_nonzero(a >= 1.0))
         sum_sq = float(np.einsum("...ij,...ij->", y, y, dtype=np.float64))
-        clipped = int(np.count_nonzero(a >= 1.0))
         with self._lock:
             if peak > self.peak_out:
                 self.peak_out = peak
@@ -266,6 +278,10 @@ class StreamSession:
             output_rate=(source.sample_rate or 0) * engine.ratio,
         )
         self._stats_path = stats_path
+        # Device-PCM engines emit quantized int16 sample values; route
+        # them through the sinks' packed path and meter at full scale.
+        self._pcm_scale = (32768.0 if getattr(engine, "device_pcm", None)
+                           is not None else None)
         self._stop = threading.Event()
         if low_latency:
             _warm_up(engine, self.channels, block_in, self.max_batch_blocks)
@@ -291,8 +307,11 @@ class StreamSession:
             time.monotonic() - t0)
         valid_out = valid_in_frames * self.engine.ratio
         out = y[:, :valid_out]
-        self.stats.meter_output(out)
-        self.sink.write_frames(out)
+        self.stats.meter_output(out, scale=self._pcm_scale)
+        if self._pcm_scale is not None:
+            self.sink.write_quantized(out)
+        else:
+            self.sink.write_frames(out)
         self.stats.add_frames_out(valid_out)
 
     def run(self, max_frames: int | None = None) -> StreamStats:
@@ -407,6 +426,12 @@ class ThreadedStreamSession:
             output_rate=(source.sample_rate or 0) * engine.ratio,
         )
         self._stats_path = stats_path
+        # Device-PCM mode: the engine emits int16 sample values. They ride
+        # the float32 output ring as their EXACT float32 representations
+        # (|int16| <= 2^15 << 2^24, the f32 integer-exact range); the
+        # drainer converts back and hands the sink packed samples.
+        self._pcm_scale = (32768.0 if getattr(engine, "device_pcm", None)
+                           is not None else None)
         self._stop = threading.Event()
         self._feed_done = threading.Event()
         self._compute_done = threading.Event()
@@ -452,7 +477,10 @@ class ThreadedStreamSession:
             if avail:
                 flat = self._out_ring.read(avail)
                 frames = flat.reshape(-1, self.channels).T
-                self.sink.write_frames(frames)
+                if self._pcm_scale is not None:
+                    self.sink.write_quantized(frames.astype(np.int16))
+                else:
+                    self.sink.write_frames(frames)
                 self.stats.add_frames_out(frames.shape[1])
             elif self._compute_done.is_set():
                 return
@@ -469,7 +497,7 @@ class ThreadedStreamSession:
             frames.shape[1] // self.block_input_frames,
             time.monotonic() - t0)
         out = y[:, : valid_in * self.engine.ratio]
-        self.stats.meter_output(out)
+        self.stats.meter_output(out, scale=self._pcm_scale)
         self._write_out(out.T.ravel())
 
     def _write_out(self, flat: np.ndarray) -> None:
