@@ -203,6 +203,26 @@ class TestCliDevicePcm:
             outs[mode] = open(out, "rb").read()
         assert outs["auto"] == outs["off"] and len(outs["auto"]) > 0
 
+    def test_sharded_auto_on(self, coefficients_dir, rng, tmp_path):
+        x = (rng.normal(size=(2, 3000)) * 0.3).astype(np.float32)
+        wav_in = str(tmp_path / "in.wav")
+        write_wav(wav_in, x, 352800)
+        filt = str(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+        out = str(tmp_path / "out_sharded.raw")
+        r = self._run(["--in", wav_in, "--out", f"file:{out}",
+                       "--filter", filt, "--format", "s16",
+                       "--shard-time", "2"])
+        assert r.returncode == 0, r.stderr
+        assert "Device PCM: s16 quantization on-device (sharded drain)" \
+            in r.stderr
+        # --dither keeps sharded meshes on the float path (undithered-only
+        # sharded quantize, parallel/sharded.py note).
+        r2 = self._run(["--in", wav_in, "--out", "null",
+                        "--filter", filt, "--format", "s16",
+                        "--shard-time", "2", "--dither"])
+        assert r2.returncode == 0, r2.stderr
+        assert "Device PCM" not in r2.stderr
+
     def test_on_requires_s16(self, tmp_path, coefficients_dir):
         filt = str(next(coefficients_dir.glob("filter_44k_2x_*.json")))
         r = self._run(["--in", "null", "--out", "null", "--rate", "352800",

@@ -194,3 +194,64 @@ class TestShardedSwapFade:
         ref.set_eq(np.full(ref.config.n_bins, 0.5))
         np.testing.assert_allclose(y, ref.process_block(x), rtol=1e-5,
                                    atol=1e-7)
+
+
+class TestShardedDevicePcm:
+    """Sharded engine device-PCM mode: the quantize rides the sharded
+    output (per-process drains move int16) and must equal the plain
+    engine's device-PCM output bit-exactly."""
+
+    def test_quantizes_sharded_stream_bit_exact(self, small_filter, rng):
+        from totton_tpu.io.pcm import PcmFormat, quantize_s16_host
+
+        lf = small_filter
+        mesh = make_mesh(n_channel=2, n_time=4)
+        sharded = ShardedUpsampler(lf, mesh, channels=4,
+                                   device_pcm=PcmFormat.S16_LE)
+        sharded_f = ShardedUpsampler(lf, mesh, channels=4)
+        per_step = sharded.step_input_frames
+        while (per_step // 4) < sharded.config.halo_in:
+            per_step *= 2
+        x = (rng.normal(size=(4, per_step)) * 0.4).astype(np.float32)
+
+        y_sharded = sharded.process_block(x)
+        assert y_sharded.dtype == np.int16
+        # The on-device quantize is bit-exact against the engine's OWN
+        # float stream (the sharded float stream itself differs from the
+        # plain engine's at the ~2e-7 reduction-order level, so plain vs
+        # sharded quantized outputs may differ by 1 LSB where a sample
+        # sits on a truncation boundary).
+        np.testing.assert_array_equal(
+            y_sharded, quantize_s16_host(sharded_f.process_block(x)))
+        plain = StreamingUpsampler(lf, channels=4,
+                                   device_pcm=PcmFormat.S16_LE)
+        diff = (y_sharded.astype(np.int32)
+                - plain.process_block(x).astype(np.int32))
+        assert np.abs(diff).max() <= 1
+
+    def test_faded_swap_stays_quantized(self, small_filter, rng):
+        from totton_tpu.io.pcm import PcmFormat, quantize_s16_host
+
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=4)
+        q = ShardedUpsampler(lf, mesh, channels=2, swap_fade_frames=128,
+                             device_pcm=PcmFormat.S16_LE)
+        f = ShardedUpsampler(lf, mesh, channels=2, swap_fade_frames=128)
+        per_step = q.step_input_frames
+        while (per_step // 4) < q.config.halo_in:
+            per_step *= 2
+        x = (rng.normal(size=(2, per_step)) * 0.3).astype(np.float32)
+        for eng in (q, f):
+            eng.process_block(x)
+            eng.set_eq(None)  # arm the fade (identical spectrum)
+        y_q = q.process_block(x)
+        y_f = f.process_block(x)
+        assert y_q.dtype == np.int16
+        np.testing.assert_array_equal(y_q, quantize_s16_host(y_f))
+
+    def test_rejects_non_s16(self, small_filter):
+        from totton_tpu.io.pcm import PcmFormat
+
+        with pytest.raises(ValueError, match="S16_LE only"):
+            ShardedUpsampler(small_filter, make_mesh(n_channel=1, n_time=4),
+                             channels=2, device_pcm=PcmFormat.S32_LE)

@@ -79,8 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="quantize float->s16 ON the device (halves the "
                         "device->host transfer — the e2e bottleneck on "
                         "bandwidth-limited host links). auto: enabled for "
-                        "s16 output on the plain engine (not sharded / "
-                        "crossfeed); bit-exact with the host conversion")
+                        "s16 output except with --crossfeed (or --dither "
+                        "on a sharded mesh); bit-exact with the host "
+                        "conversion")
     p.add_argument("--swap-fade", type=int, default=4096, metavar="FRAMES",
                    help="crossfade length (output frames) for live filter/EQ "
                         "hot-swaps — click-free RELOAD (0 = abrupt swap)")
@@ -271,16 +272,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"EQ profile baked in: {eq_desc}", file=sys.stderr)
 
     # On-device s16 quantization: the engine emits final int16 samples and
-    # the device->host transfer halves (ops/device_pcm.py). The sharded
-    # engine and the crossfeed chain keep the float path (their output
-    # stages live outside the plain upsampler).
+    # the device->host transfer halves (ops/device_pcm.py). Works for the
+    # plain AND the sharded engine (where every process's drain halves);
+    # the crossfeed chain keeps the float path (its post stages live
+    # outside the upsampler), and sharded meshes are undithered by design
+    # (parallel/sharded.py note) so --dither keeps them on the float path.
     from totton_tpu.io.pcm import PcmFormat
 
-    pcm_eligible = (fmt is PcmFormat.S16_LE and mesh is None
-                    and not args.crossfeed)
+    pcm_eligible = (fmt is PcmFormat.S16_LE and not args.crossfeed
+                    and (mesh is None or not args.dither))
     if args.device_pcm == "on" and not pcm_eligible:
-        print("error: --device-pcm on requires --format s16 and no "
-              "--shard-time/--crossfeed", file=sys.stderr)
+        print("error: --device-pcm on requires --format s16, no "
+              "--crossfeed, and no --dither on a sharded mesh",
+              file=sys.stderr)
         return 2
     device_pcm_on = (args.device_pcm != "off") and pcm_eligible
 
@@ -291,9 +295,14 @@ def main(argv: list[str] | None = None) -> int:
         # carries this host's rows; single-process: trust the source
         # (a WAV header may have refined it).
         global_channels = args.channels if n_procs > 1 else source.channels
-        engine = ShardedUpsampler(loaded, mesh, channels=global_channels,
-                                  eq_response=eq_response,
-                                  swap_fade_frames=args.swap_fade)
+        engine = ShardedUpsampler(
+            loaded, mesh, channels=global_channels,
+            eq_response=eq_response,
+            swap_fade_frames=args.swap_fade,
+            device_pcm=PcmFormat.S16_LE if device_pcm_on else None)
+        if device_pcm_on:
+            print("Device PCM: s16 quantization on-device (sharded drain)",
+                  file=sys.stderr)
         print(f"Sharded engine: mesh {dict(mesh.shape)}, "
               f"process {process_index}/{n_procs}, dispatch granule "
               f"{engine.local_block_input_frames} local input frames "

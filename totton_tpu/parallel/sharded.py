@@ -144,10 +144,26 @@ class ShardedUpsampler:
         channels: int = 2,
         eq_response: np.ndarray | None = None,
         swap_fade_frames: int = 0,
+        device_pcm=None,
     ) -> None:
         if swap_fade_frames < 0:
             raise ValueError(
                 f"swap_fade_frames must be >= 0: {swap_fade_frames}")
+        if device_pcm is not None:
+            from totton_tpu.io.pcm import PcmFormat
+
+            if device_pcm is not PcmFormat.S16_LE:
+                raise ValueError(
+                    f"device_pcm supports S16_LE only, got {device_pcm}")
+        # Device-PCM mode (ops/device_pcm.py): the elementwise quantize is
+        # applied to the SHARDED step output, so every process's drain
+        # (_local_output) moves int16 — the multi-host analog of the plain
+        # engine's halved device->host transfer. Undithered only: jax
+        # PRNG sampling partitioned over a mesh does not produce a
+        # layout-independent noise stream, and the sharded oracle tests
+        # assert exact single-device equality; dithering stays with the
+        # sink on sharded deployments.
+        self.device_pcm = device_pcm
         # Click-free hot swap, same contract as StreamingUpsampler: fade the
         # first swap_fade_frames output samples of the step after a spectrum
         # swap from old to new (the fade window lives at the start of time
@@ -280,6 +296,11 @@ class ShardedUpsampler:
             self._note_swap(self._spectrum)
             self._spectrum = spectrum
 
+    def set_dither(self, enabled: bool) -> bool:
+        """Sharded device-PCM is undithered by design (see __init__ note);
+        the live dither toggle has nothing to switch here."""
+        return False
+
     def load_filter(
         self, filt: LoadedFilter, eq_response: np.ndarray | None = None
     ) -> None:
@@ -373,6 +394,13 @@ class ShardedUpsampler:
             fade_from, self._fade_from = self._fade_from, None
             y_old = (self._step(tail_before, xs, fade_from)[0]
                      if fade_from is not None else None)
+        if self.device_pcm is not None and y_old is None:
+            # Quantize the sharded output on-device (elementwise: sharding
+            # is preserved) so the per-process drain moves int16. Fade
+            # steps mix old/new on the host in float and quantize below.
+            from totton_tpu.ops import device_pcm as _dp
+
+            y = _dp.quantize_s16(y)
         out = self._local_output(y)
         if y_old is not None and (not self._local_time_cols
                                   or self._local_time_cols[0] == 0):
@@ -386,4 +414,8 @@ class ShardedUpsampler:
             ramp = np.arange(n, dtype=np.float32) / total
             out = np.array(out)
             out[:, :n] = old[:, :n] * (1.0 - ramp) + out[:, :n] * ramp
+        if self.device_pcm is not None and y_old is not None:
+            from totton_tpu.io.pcm import quantize_s16_host
+
+            out = quantize_s16_host(out)
         return out
