@@ -1,6 +1,7 @@
 """CrossfeedChain: upsample -> crossfeed with constant latency."""
 
 import numpy as np
+import pytest
 
 from totton_tpu.engine.chain import CrossfeedChain
 from totton_tpu.engine.crossfeed import (
@@ -89,3 +90,15 @@ def test_chain_reset_only_inner_upsampler_is_insufficient(
     chain.upsampler.reset()  # the round-2 bug: inner reset only
     y = chain.process_block(np.zeros((2, bi), np.float32))
     assert np.max(np.abs(y)) > 1e-6
+
+
+def test_chain_rejects_device_pcm_upsampler(coefficients_dir):
+    from totton_tpu.engine.chain import CrossfeedChain
+    from totton_tpu.engine.upsampler import StreamingUpsampler
+    from totton_tpu.filters.sidecar import load_filter
+    from totton_tpu.io.pcm import PcmFormat
+
+    lf = load_filter(next(coefficients_dir.glob("filter_44k_2x_*.json")))
+    eng = StreamingUpsampler(lf, channels=2, device_pcm=PcmFormat.S16_LE)
+    with pytest.raises(ValueError, match="float-output upsampler"):
+        CrossfeedChain(eng, object())

@@ -15,6 +15,13 @@ class CrossfeedChain:
 
     def __init__(self, upsampler: StreamingUpsampler,
                  crossfeed: CrossfeedProcessor) -> None:
+        if getattr(upsampler, "device_pcm", None) is not None:
+            # The chain convolves/mixes the upsampler's output in float;
+            # quantization must stay with the sink here (the CLI's
+            # --device-pcm eligibility enforces the same).
+            raise ValueError(
+                "CrossfeedChain requires a float-output upsampler "
+                "(device_pcm=None)")
         self.upsampler = upsampler
         self.crossfeed = crossfeed
         self._pending = np.zeros((2, 0), dtype=np.float32)
