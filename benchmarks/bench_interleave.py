@@ -62,11 +62,15 @@ def main() -> int:
 
     results = {}
     y_ref = None
-    for mode in ("stack", "einsum"):
-        # _STAGE2_INTERLEAVE is read at trace time; a fresh jit per mode
-        # traces a fresh program. (Env var TOTTON_STAGE2_INTERLEAVE is the
-        # production knob; this in-session mutation is bench-only.)
-        osv._STAGE2_INTERLEAVE = mode
+    # "stack"/"einsum": stage-2 interleave formulations (split inverse);
+    # "stacked": whole-inverse real/imag-stacked form (2 einsums total).
+    for mode in ("stack", "einsum", "stacked"):
+        # Knobs are read at trace time; a fresh jit per mode traces a
+        # fresh program. (Env vars TOTTON_STAGE2_INTERLEAVE /
+        # TOTTON_ABSORBED_FORM are the production knobs; this in-session
+        # mutation is bench-only.)
+        osv._ABSORBED_FORM = "stacked" if mode == "stacked" else "split"
+        osv._STAGE2_INTERLEAVE = "einsum" if mode == "stacked" else mode
 
         def chain(a0, xa, r, i):
             def body(acc, _):
@@ -105,9 +109,10 @@ def main() -> int:
             "g_samples_per_s": round(sps / 1e9, 3),
         }))
 
-    speedup = results["einsum"] / results["stack"]
-    print(json.dumps({"exp": "stage2_interleave", "mode": "einsum/stack",
-                      "speedup": round(speedup, 4)}))
+    for num, den in (("einsum", "stack"), ("stacked", "einsum")):
+        print(json.dumps({
+            "exp": "stage2_interleave", "mode": f"{num}/{den}",
+            "speedup": round(results[num] / results[den], 4)}))
     return 0
 
 

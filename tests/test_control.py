@@ -236,7 +236,7 @@ class TestPubEvents:
         endpoint = f"ipc://{tmp_path}/cmd.sock"
         pub_endpoint = f"ipc://{tmp_path}/pub.sock"
         daemon = ControlDaemon(endpoint=endpoint, pub_endpoint=pub_endpoint,
-                               phase_type="minimum")
+                               phase_type="minimum", heartbeat_s=0)
         daemon.start()
         try:
             ctx = zmq.Context.instance()
@@ -253,7 +253,8 @@ class TestPubEvents:
 
             assert client.set_phase_type("linear").ok
             event = _json.loads(sub.recv_string())
-            assert event == {"event": "phase_type", "phase_type": "linear"}
+            assert event == {"event": "phase_type", "phase_type": "linear",
+                             "seq": 2}
 
             assert client.soft_reset().ok
             event = _json.loads(sub.recv_string())
@@ -269,3 +270,112 @@ class TestPubEvents:
                            f"ipc://{tmp_path}/envpub.sock")
         daemon = ControlDaemon(endpoint=f"ipc://{tmp_path}/cmd2.sock")
         assert daemon.server.pub_endpoint == f"ipc://{tmp_path}/envpub.sock"
+
+
+class TestFanOutDelivery:
+    """PUB/SUB fan-out delivery robustness: sequence numbers on every
+    state-changing event + periodic 'state' heartbeats let a follower
+    DETECT dropped events (ZMQ slow-joiner / reconnect) and resync from
+    the carried leader state instead of diverging forever."""
+
+    def _follower(self):
+        from totton_tpu.control.follower import ControlFollower
+
+        calls = []
+        f = ControlFollower(
+            "inproc://unused",
+            on_reload=lambda: calls.append("reload"),
+            on_soft_reset=lambda: calls.append("soft_reset"),
+            on_phase_change=lambda p: calls.append(f"phase:{p}"),
+            on_shutdown=lambda: calls.append("shutdown"),
+        )
+        return f, calls
+
+    def test_in_order_events_no_resync(self):
+        f, calls = self._follower()
+        f._apply({"event": "phase_type", "phase_type": "linear", "seq": 1})
+        f._apply({"event": "reload", "seq": 2, "phase_type": "linear"})
+        f._apply({"event": "state", "seq": 2, "phase_type": "linear"})
+        assert calls == ["phase:linear", "reload"]
+        assert f.seq_applied == 2
+
+    def test_heartbeat_detects_slow_joiner_gap(self):
+        # Follower connected AFTER the leader published seq 1..3: the
+        # first thing it sees is a heartbeat — it must converge.
+        f, calls = self._follower()
+        f._apply({"event": "state", "seq": 3, "phase_type": "linear",
+                  "reloads": 1, "shutdown": False})
+        assert calls == ["phase:linear"]
+        assert f.seq_applied == 3
+        # Identical heartbeat again: no duplicate work.
+        f._apply({"event": "state", "seq": 3, "phase_type": "linear",
+                  "reloads": 1, "shutdown": False})
+        assert calls == ["phase:linear"]
+
+    def test_gap_on_direct_event_resyncs_first(self):
+        f, calls = self._follower()
+        f._apply({"event": "phase_type", "phase_type": "linear", "seq": 1})
+        # seq 2 (a phase change back to minimum) was dropped; seq 3 is a
+        # soft_reset carrying the leader's current phase.
+        f._apply({"event": "soft_reset", "seq": 3, "phase_type": "minimum"})
+        assert calls == ["phase:linear", "phase:minimum", "soft_reset"]
+        assert f.seq_applied == 3
+
+    def test_gap_on_phase_event_applies_once(self):
+        f, calls = self._follower()
+        f._apply({"event": "phase_type", "phase_type": "linear", "seq": 5})
+        # Gap (1..4 missed) on a phase event: resync IS the apply.
+        assert calls == ["phase:linear"]
+        assert f.seq_applied == 5
+
+    def test_shutdown_via_heartbeat_flag_and_dedupe(self):
+        f, calls = self._follower()
+        f._apply({"event": "shutdown", "seq": 1, "phase_type": "minimum"})
+        f._apply({"event": "state", "seq": 1, "phase_type": "minimum",
+                  "shutdown": True})
+        assert calls.count("shutdown") == 1
+        # A follower that MISSED the shutdown event hears it from the
+        # heartbeat flag.
+        g, calls2 = self._follower()
+        g._apply({"event": "state", "seq": 1, "phase_type": "minimum",
+                  "shutdown": True})
+        assert "shutdown" in calls2
+
+    def test_daemon_heartbeat_published(self, tmp_path):
+        import json as _json
+        import time
+
+        import zmq
+
+        from totton_tpu.control.client import DaemonClient
+        from totton_tpu.control.daemon import ControlDaemon
+
+        endpoint = f"ipc://{tmp_path}/hb_cmd.sock"
+        pub_endpoint = f"ipc://{tmp_path}/hb_pub.sock"
+        daemon = ControlDaemon(endpoint=endpoint, pub_endpoint=pub_endpoint,
+                               phase_type="minimum", heartbeat_s=0.1)
+        daemon.start()
+        try:
+            ctx = zmq.Context.instance()
+            sub = ctx.socket(zmq.SUB)
+            sub.setsockopt_string(zmq.SUBSCRIBE, "")
+            sub.setsockopt(zmq.RCVTIMEO, 5000)
+            sub.connect(pub_endpoint)
+            time.sleep(0.3)
+            client = DaemonClient(endpoint=endpoint, timeout_ms=5000)
+            assert client.set_phase_type("linear").ok
+            # Within a few heartbeat periods a state event with the new
+            # phase and the bumped seq must arrive.
+            deadline = time.time() + 5
+            state = None
+            while time.time() < deadline:
+                msg = _json.loads(sub.recv_string())
+                if msg["event"] == "state" and msg["seq"] >= 1:
+                    state = msg
+                    break
+            assert state is not None
+            assert state["phase_type"] == "linear"
+            assert state["shutdown"] is False
+            sub.close(0)
+        finally:
+            daemon.stop()

@@ -341,3 +341,66 @@ class TestLiveDither:
         assert hasattr(SocketSink, "set_dither")  # inherits the swap
         # Null sink does not quantize: reports not-applied.
         assert NullSink().set_dither(True) is False
+
+
+class TestWavSinkStreaming:
+    """WavFileSink streams quantized chunks to disk as they arrive (no
+    full-stream RAM buffer), which makes set_dither genuinely live: audio
+    written BEFORE a toggle keeps its original quantization."""
+
+    def test_set_dither_is_not_retroactive(self, tmp_path, rng):
+        from totton_tpu.io.devices import WavFileSink
+        from totton_tpu.io.pcm import PcmFormat, float_to_pcm, interleave
+        from totton_tpu.io.wav import read_wav
+
+        x1 = (rng.normal(size=(2, 500)) * 0.2).astype(np.float32)
+        x2 = (rng.normal(size=(2, 500)) * 0.2).astype(np.float32)
+
+        path = str(tmp_path / "live.wav")
+        sink = WavFileSink(path, 48000, PcmFormat.S16_LE)
+        sink.write_frames(x1)
+        assert sink.set_dither(True)
+        sink.write_frames(x2)
+        sink.close()
+
+        import wave
+
+        with wave.open(path, "rb") as w:
+            raw = w.readframes(w.getnframes())
+        # First chunk: bit-exact undithered quantization, untouched by the
+        # later toggle. Second chunk: differs from plain truncation
+        # (dither landed) but only by quantization-level amounts.
+        first = raw[: 500 * 2 * 2]
+        assert first == float_to_pcm(interleave(x1), PcmFormat.S16_LE)
+        second = np.frombuffer(raw[500 * 2 * 2:], "<i2").astype(np.int32)
+        plain = np.frombuffer(
+            float_to_pcm(interleave(x2), PcmFormat.S16_LE), "<i2"
+        ).astype(np.int32)
+        assert np.any(second != plain)
+        assert np.abs(second - plain).max() <= 2
+
+        y, rate = read_wav(path)
+        assert rate == 48000 and y.shape == (2, 1000)
+
+    def test_empty_close_writes_valid_wav(self, tmp_path):
+        from totton_tpu.io.devices import WavFileSink
+        from totton_tpu.io.wav import read_wav
+
+        path = str(tmp_path / "empty.wav")
+        WavFileSink(path, 44100).close()
+        y, rate = read_wav(path)
+        assert rate == 44100 and y.shape[1] == 0
+
+    def test_write_quantized_s16_passthrough(self, tmp_path, rng):
+        from totton_tpu.io.devices import WavFileSink
+        from totton_tpu.io.pcm import PcmFormat
+        from totton_tpu.io.wav import read_wav
+
+        q = (rng.integers(-30000, 30000, size=(2, 256))).astype(np.int16)
+        path = str(tmp_path / "q.wav")
+        sink = WavFileSink(path, 48000, PcmFormat.S16_LE)
+        sink.write_quantized(q)
+        sink.close()
+        y, _ = read_wav(path)
+        np.testing.assert_array_equal(
+            np.round(y * 32768.0).astype(np.int16), q)

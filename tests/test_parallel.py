@@ -255,3 +255,39 @@ class TestShardedDevicePcm:
         with pytest.raises(ValueError, match="S16_LE only"):
             ShardedUpsampler(small_filter, make_mesh(n_channel=1, n_time=4),
                              channels=2, device_pcm=PcmFormat.S32_LE)
+
+
+class TestShardedFadeCarry:
+    def test_fade_longer_than_step_carries(self, small_filter, rng):
+        """A fade window larger than one step's output must continue its
+        ramp on the next step (the plain engine's carry semantics), not
+        truncate to a mid-ramp amplitude jump."""
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=4)
+        per_step = ShardedUpsampler(lf, mesh, channels=2).step_input_frames
+        while (per_step // 4) < lf.sidecar.taps:  # cover halo comfortably
+            per_step *= 2
+        out_per_step = per_step * 4  # ratio 4
+        fade = out_per_step + out_per_step // 2  # spills into step 2
+        sharded = ShardedUpsampler(lf, mesh, channels=2,
+                                   swap_fade_frames=fade)
+        plain = StreamingUpsampler(lf, channels=2, swap_fade_frames=fade)
+
+        x = (rng.normal(size=(2, 3 * per_step)) * 0.3).astype(np.float32)
+        for eng in (sharded, plain):
+            eng.process_block(x[:, :per_step])
+        # Arm a REAL spectral change so a truncated fade is visible:
+        # a mild EQ tilt.
+        n_bins = lf.sidecar.fft_size // 2 + 1
+        eq = np.linspace(1.0, 0.5, n_bins).astype(np.float64)
+        sharded.set_eq(eq)
+        plain.set_eq(eq)
+
+        y_s = np.concatenate(
+            [sharded.process_block(x[:, per_step:2 * per_step]),
+             sharded.process_block(x[:, 2 * per_step:])], axis=1)
+        y_p = np.concatenate(
+            [plain.process_block(x[:, per_step:2 * per_step]),
+             plain.process_block(x[:, 2 * per_step:])], axis=1)
+        np.testing.assert_allclose(y_s, y_p, rtol=1e-4, atol=1e-5)
+        assert sharded._fade_from is None  # fade completed and cleared

@@ -286,3 +286,72 @@ def test_socket_e2e_with_live_reload(coefficients_dir, tmp_path):
     err = y - np.clip(ref, -1.0, 1.0)
     snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(err ** 2), 1e-300))
     assert snr > 100.0, f"SNR {snr:.1f} dB"
+
+
+class TestPeerCloseCleanStop:
+    """The docstring contract 'a closed peer is a clean stop on the sink
+    side': a departed receiver surfaces as SinkClosedError and stream
+    sessions treat it like source EOF (no traceback, no hang)."""
+
+    def test_sink_raises_sink_closed(self, rng):
+        from totton_tpu.io.devices import SinkClosedError
+
+        port = free_port()
+        received = {}
+
+        def read_side():
+            src = open_source(f"tcp-listen://127.0.0.1:{port}")
+            received["first"] = src.read_frames(64)
+            src.close()  # receiver departs mid-stream
+
+        t = threading.Thread(target=read_side)
+        t.start()
+        sink = open_sink(f"tcp://127.0.0.1:{port}", 48000, PcmFormat.S16_LE)
+        x = (rng.normal(size=(2, 64)) * 0.1).astype(np.float32)
+        with pytest.raises(SinkClosedError):
+            # The OS may buffer a few writes before the RST surfaces.
+            for _ in range(200):
+                sink.write_frames(x)
+        t.join(timeout=10)
+        sink.close()
+
+    def test_sessions_stop_cleanly_on_sink_close(self, rng):
+        from totton_tpu.io.devices import (
+            AudioSink,
+            NullSource,
+            SinkClosedError,
+        )
+        from totton_tpu.io.stream import StreamSession, ThreadedStreamSession
+
+        class DepartingSink(AudioSink):
+            def __init__(self):
+                self.writes = 0
+
+            def write_frames(self, x):
+                self.writes += 1
+                if self.writes > 2:
+                    raise SinkClosedError("peer gone")
+
+        class _Identity:
+            """Minimal engine: ratio-1 passthrough."""
+            channels = 2
+            ratio = 1
+            block_input_frames = 256
+
+            class config:
+                block_size = 256
+
+            def process_block(self, x):
+                return np.asarray(x, np.float32)
+
+            def reset(self):
+                pass
+
+        for cls in (StreamSession, ThreadedStreamSession):
+            sink = DepartingSink()
+            session = cls(NullSource(2, 48000, total_frames=100_000), sink,
+                          _Identity(), period_frames=256,
+                          max_batch_blocks=1)
+            stats = session.run()  # must return, not raise or hang
+            assert sink.writes >= 3
+            assert stats.frames_in > 0

@@ -176,9 +176,12 @@ def main(argv: list[str] | None = None) -> int:
         n_procs = jax.process_count()
         process_index = jax.process_index()
         if n_procs > 1:
-            rows, _cols = _Sharded._resolve_local_block(mesh)
-            local_channels = (args.channels // mesh.shape["channel"]
-                              * len(rows))
+            try:
+                local_channels = _Sharded.local_channel_count(
+                    mesh, args.channels)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
     elif args.distributed:
         print("error: --distributed needs a sharded engine "
               "(--shard-time N [--shard-channel M])", file=sys.stderr)
@@ -295,11 +298,15 @@ def main(argv: list[str] | None = None) -> int:
         # carries this host's rows; single-process: trust the source
         # (a WAV header may have refined it).
         global_channels = args.channels if n_procs > 1 else source.channels
-        engine = ShardedUpsampler(
-            loaded, mesh, channels=global_channels,
-            eq_response=eq_response,
-            swap_fade_frames=args.swap_fade,
-            device_pcm=PcmFormat.S16_LE if device_pcm_on else None)
+        try:
+            engine = ShardedUpsampler(
+                loaded, mesh, channels=global_channels,
+                eq_response=eq_response,
+                swap_fade_frames=args.swap_fade,
+                device_pcm=PcmFormat.S16_LE if device_pcm_on else None)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         if device_pcm_on:
             print("Device PCM: s16 quantization on-device (sharded drain)",
                   file=sys.stderr)

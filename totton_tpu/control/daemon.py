@@ -63,6 +63,7 @@ class ControlDaemon:
         list_devices_fn: Callable[[], dict] | None = None,
         stats_path: str | None = None,
         phase_type: str | None = None,
+        heartbeat_s: float = 2.0,
     ) -> None:
         self.endpoint = endpoint or os.environ.get(ENDPOINT_ENV, DEFAULT_ENDPOINT)
         # PUB endpoint: flag > TOTTON_ZMQ_PUB_ENDPOINT env > off. When on,
@@ -87,6 +88,18 @@ class ControlDaemon:
         self.soft_reset_count = 0
         self._start_time = time.monotonic()
         self._shutdown = threading.Event()
+        # Delivery robustness for the PUB fan-out: ZMQ PUB/SUB silently
+        # drops events for subscribers that haven't finished connecting
+        # (slow joiner) or are mid-reconnect. Every state-changing event
+        # carries a monotone sequence number, and a periodic "state"
+        # heartbeat (seq + phase + shutdown flag) lets followers DETECT a
+        # gap and resynchronize instead of diverging forever
+        # (control/follower.py). heartbeat_s=0 disables (tests).
+        self._event_seq = 0
+        self._seq_lock = threading.Lock()
+        self._heartbeat_s = heartbeat_s
+        self._hb_stop = threading.Event()
+        self._hb_thread: threading.Thread | None = None
 
         s = self.server
         s.register("PING", lambda req: build_ok({"pong": True}))
@@ -118,8 +131,29 @@ class ControlDaemon:
         return build_ok(data)
 
     def _publish_event(self, event: str, **payload) -> None:
-        """Fire-and-forget PUB notification (no-op without a PUB socket)."""
-        self.server.publish(json.dumps({"event": event, **payload}))
+        """Fire-and-forget PUB notification (no-op without a PUB socket).
+        State-changing events are numbered so followers can detect drops."""
+        with self._seq_lock:
+            self._event_seq += 1
+            seq = self._event_seq
+        self.server.publish(json.dumps({"event": event, "seq": seq,
+                                        **payload}))
+
+    def _publish_state(self) -> None:
+        """The heartbeat: current seq + state, NOT seq-incrementing. A
+        follower whose applied seq lags this one missed a published event
+        and resyncs from the carried state."""
+        with self._seq_lock:
+            seq = self._event_seq
+        self.server.publish(json.dumps({
+            "event": "state", "seq": seq, "phase_type": self.phase_type,
+            "reloads": self.reload_count,
+            "shutdown": self._shutdown.is_set(),
+        }))
+
+    def _heartbeat_loop(self) -> None:
+        while not self._hb_stop.wait(self._heartbeat_s):
+            self._publish_state()
 
     def _handle_reload(self, req: ZmqRequest) -> str:
         self.reload_count += 1
@@ -133,7 +167,10 @@ class ControlDaemon:
         self.soft_reset_count += 1
         if self._on_soft_reset is not None:
             self._on_soft_reset()
-        self._publish_event("soft_reset", count=self.soft_reset_count)
+        # phase_type rides every event so a follower detecting a seq gap
+        # can converge from the event itself (follower._resync).
+        self._publish_event("soft_reset", count=self.soft_reset_count,
+                            phase_type=self.phase_type)
         return build_ok({"reset": True})
 
     def _handle_phase_set(self, req: ZmqRequest) -> str:
@@ -158,7 +195,7 @@ class ControlDaemon:
     def _handle_shutdown(self, req: ZmqRequest) -> str:
         # Publish BEFORE signaling shutdown: once the server stops, the PUB
         # socket is gone and followers would never hear it.
-        self._publish_event("shutdown")
+        self._publish_event("shutdown", phase_type=self.phase_type)
         self._shutdown.set()
         return build_ok({"shutdown": True})
 
@@ -166,8 +203,24 @@ class ControlDaemon:
 
     def start(self) -> None:
         self.server.start()
+        if self._heartbeat_s > 0 and self.server.pub_endpoint:
+            self._hb_thread = threading.Thread(
+                target=self._heartbeat_loop, daemon=True,
+                name="totton-control-heartbeat")
+            self._hb_thread.start()
 
     def stop(self) -> None:
+        if self._hb_thread is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=5)
+            self._hb_thread = None
+        if self._shutdown.is_set() and self.server.pub_endpoint:
+            # One last state heartbeat with the shutdown flag, then a
+            # short grace so the PUB socket flushes before closing —
+            # a follower that missed the single "shutdown" event still
+            # hears it here.
+            self._publish_state()
+            time.sleep(0.05)
         self.server.stop()
 
     def wait_for_shutdown(self, timeout: float | None = None) -> bool:

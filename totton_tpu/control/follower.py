@@ -12,6 +12,18 @@ eventually the audio at shard boundaries).
 The reference has no multi-host path at all (SURVEY.md §2.3); its PUB
 socket exists but nothing ever publishes or subscribes
 (src/zmq/command_server.cpp:189-207).
+
+Delivery model: ZMQ PUB/SUB gives no delivery guarantee — a subscriber
+still connecting (slow joiner) or mid-reconnect silently loses messages.
+Every state-changing event therefore carries a monotone `seq`, and the
+leader publishes a periodic `state` heartbeat (current seq + phase +
+shutdown flag). A follower whose applied seq lags resynchronizes from the
+carried state (phase -> filter reload, which also re-reads config EQ);
+a missed SOFT_RESET is deliberately not replayed late (its effect is
+transient and a late replay would itself glitch the audio). A follower
+that missed the shutdown event hears it from the heartbeat's flag, and
+the leader flushes one final flagged heartbeat before closing its PUB
+socket.
 """
 
 from __future__ import annotations
@@ -43,10 +55,53 @@ class ControlFollower:
         self._thread: threading.Thread | None = None
         #: events successfully applied (observability/test hook)
         self.applied: list[str] = []
+        # Highest leader event seq this follower has applied. ZMQ PUB/SUB
+        # silently drops messages for a subscriber that is still
+        # connecting (slow joiner) or mid-reconnect; the leader's periodic
+        # "state" heartbeat carries its current seq, so a gap here is
+        # DETECTED and closed by resync instead of diverging forever.
+        self.seq_applied = 0
+        self._shutdown_seen = False
+
+    def _resync(self, msg: dict) -> None:
+        """Missed event(s): converge on the heartbeat's carried state.
+
+        on_phase_change(phase) reloads the right filter family (and the
+        CLI's callback re-reads config EQ on the way); a missed SOFT_RESET
+        is NOT replayed — it is a transient action whose effect (flushed
+        history) cannot be reconstructed late, and replaying it seconds
+        after the leader's would itself glitch the audio.
+        """
+        phase = msg.get("phase_type")
+        if phase in ("minimum", "linear") and self._on_phase_change:
+            self._on_phase_change(phase)
+        elif self._on_reload:
+            self._on_reload()
+        self.applied.append("resync")
 
     def _apply(self, msg: dict) -> None:
         event = msg.get("event")
-        if event == "reload" and self._on_reload:
+        seq = msg.get("seq")
+        if event == "state":
+            if isinstance(seq, int) and seq > self.seq_applied:
+                self._resync(msg)
+                self.seq_applied = seq
+            if msg.get("shutdown") and not self._shutdown_seen:
+                self._shutdown_seen = True
+                if self._on_shutdown:
+                    self._on_shutdown()
+            return
+        # Seq gap on a direct event: events were dropped between the last
+        # applied one and this one. A missed phase change means the
+        # follower's LOCAL phase notion is stale — even a reload applied
+        # with it would not converge — so resync from the event's carried
+        # leader phase first, then apply the event's own action.
+        gap = isinstance(seq, int) and seq > self.seq_applied + 1
+        if gap:
+            self._resync(msg)
+        if gap and event == "phase_type":
+            pass  # the resync above already applied the leader's phase
+        elif event == "reload" and self._on_reload:
             self._on_reload()
         elif event == "soft_reset" and self._on_soft_reset:
             self._on_soft_reset()
@@ -54,8 +109,12 @@ class ControlFollower:
             phase = msg.get("phase_type")
             if phase in ("minimum", "linear"):
                 self._on_phase_change(phase)
-        elif event == "shutdown" and self._on_shutdown:
-            self._on_shutdown()
+        elif event == "shutdown":
+            if not self._shutdown_seen and self._on_shutdown:
+                self._shutdown_seen = True
+                self._on_shutdown()
+        if isinstance(seq, int):
+            self.seq_applied = max(self.seq_applied, seq)
         self.applied.append(str(event))
 
     def _run(self) -> None:

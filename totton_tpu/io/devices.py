@@ -37,7 +37,16 @@ from totton_tpu.io.pcm import (
     interleave,
     pcm_to_float,
 )
-from totton_tpu.io.wav import read_wav, write_wav
+from totton_tpu.io.wav import read_wav
+
+
+class SinkClosedError(Exception):
+    """The output endpoint's peer is gone (e.g. a socket receiver exited).
+
+    Sinks raise this from write_frames/write_quantized so stream sessions
+    can treat a departed consumer as a CLEAN stop (drain, close, exit 0)
+    instead of a crash — the sink-side analog of a source returning EOF.
+    """
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,7 +216,11 @@ class WavFileSource(AudioSource):
 
 
 class WavFileSink(AudioSink):
-    """Buffers in memory, writes the WAV on close (rate known at config)."""
+    """Streams chunks into the WAV file as they arrive (the stdlib wave
+    writer patches the length header on close). Quantization happens per
+    chunk at write time — so a live dither toggle (set_dither via the
+    RELOAD path) takes effect from that point of the stream on, matching
+    the raw/socket sinks, and an hours-long stream never buffers in RAM."""
 
     def __init__(self, path: str, sample_rate: int,
                  fmt: PcmFormat = PcmFormat.S24_3LE,
@@ -216,19 +229,37 @@ class WavFileSink(AudioSink):
         self._rate = sample_rate
         self._fmt = fmt
         self._ditherer = ditherer
-        self._chunks: list[np.ndarray] = []
+        self._w = None
         self.capability = SinkCapability.unconstrained("wav")
 
+    def _writer(self, channels: int):
+        if self._w is None:
+            import wave
+
+            self._w = wave.open(self._path, "wb")
+            self._w.setnchannels(channels)
+            self._w.setsampwidth(self._fmt.bytes)
+            self._w.setframerate(self._rate)
+        return self._w
+
     def write_frames(self, x: np.ndarray) -> None:
-        self._chunks.append(np.atleast_2d(np.asarray(x, np.float32)).copy())
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        self._writer(x.shape[0]).writeframes(
+            float_to_pcm(interleave(x), self._fmt, self._ditherer))
+
+    def write_quantized(self, x: np.ndarray) -> None:
+        x = np.atleast_2d(x)
+        if self._fmt is PcmFormat.S16_LE:
+            self._writer(x.shape[0]).writeframes(
+                interleave(x).astype("<i2").tobytes())
+            return
+        super().write_quantized(x)
 
     def close(self) -> None:
-        data = (
-            np.concatenate(self._chunks, axis=1)
-            if self._chunks
-            else np.zeros((2, 0), np.float32)
-        )
-        write_wav(self._path, data, self._rate, self._fmt, self._ditherer)
+        # No audio written: still emit a valid (empty, stereo) WAV, the
+        # historical contract of this sink.
+        self._writer(2).close()
+        self._w = None
 
 
 class LoopbackPair:

@@ -44,7 +44,12 @@ import time
 
 import numpy as np
 
-from totton_tpu.io.devices import AudioSink, AudioSource, SinkCapability
+from totton_tpu.io.devices import (
+    AudioSink,
+    AudioSource,
+    SinkCapability,
+    SinkClosedError,
+)
 from totton_tpu.io.pcm import (
     PcmFormat,
     TpdfDitherer,
@@ -269,18 +274,26 @@ class SocketSink(AudioSink):
         self._header_sent = False
         self.capability = SinkCapability.unconstrained("socket")
 
+    def _sendall(self, raw: bytes) -> None:
+        """The docstring contract 'a closed peer is a clean stop on the
+        sink side': a departed receiver surfaces as SinkClosedError, which
+        stream sessions treat like source EOF (drain + exit cleanly)."""
+        try:
+            self._sock.sendall(raw)
+        except (BrokenPipeError, ConnectionResetError) as e:
+            raise SinkClosedError(f"socket peer closed: {e}") from e
+
     def write_frames(self, x: np.ndarray) -> None:
         x = np.atleast_2d(x)
         if not self._header_sent:
-            self._sock.sendall(
-                pack_header(self._fmt, x.shape[0], self._rate))
+            self._sendall(pack_header(self._fmt, x.shape[0], self._rate))
             self._header_sent = True
         flat = interleave(x)
         if self._fmt is None:
             raw = flat.astype("<f4", copy=False).tobytes()
         else:
             raw = float_to_pcm(flat, self._fmt, self._ditherer)
-        self._sock.sendall(raw)
+        self._sendall(raw)
 
     def write_quantized(self, x: np.ndarray) -> None:
         if self._fmt is not PcmFormat.S16_LE:
@@ -288,10 +301,9 @@ class SocketSink(AudioSink):
             return
         x = np.atleast_2d(x)
         if not self._header_sent:
-            self._sock.sendall(
-                pack_header(self._fmt, x.shape[0], self._rate))
+            self._sendall(pack_header(self._fmt, x.shape[0], self._rate))
             self._header_sent = True
-        self._sock.sendall(interleave(x).astype("<i2").tobytes())
+        self._sendall(interleave(x).astype("<i2").tobytes())
 
     def close(self) -> None:
         try:

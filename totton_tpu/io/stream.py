@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 from totton_tpu.engine.upsampler import StreamingUpsampler
-from totton_tpu.io.devices import AudioSink, AudioSource
+from totton_tpu.io.devices import AudioSink, AudioSource, SinkClosedError
 from totton_tpu.io.ring_buffer import make_ring_buffer
 from totton_tpu.utils.profiling import BlockTimer
 
@@ -316,6 +316,15 @@ class StreamSession:
 
     def run(self, max_frames: int | None = None) -> StreamStats:
         """Synchronous pump loop. Returns final stats."""
+        try:
+            return self._run(max_frames)
+        except SinkClosedError:
+            # A departed consumer is the sink-side analog of source EOF:
+            # stop cleanly (io/sockets.py docstring contract).
+            self._write_stats()
+            return self.stats
+
+    def _run(self, max_frames: int | None) -> StreamStats:
         block_in = self.block_input_frames
         frames_remaining = max_frames
         eof = False
@@ -477,10 +486,17 @@ class ThreadedStreamSession:
             if avail:
                 flat = self._out_ring.read(avail)
                 frames = flat.reshape(-1, self.channels).T
-                if self._pcm_scale is not None:
-                    self.sink.write_quantized(frames.astype(np.int16))
-                else:
-                    self.sink.write_frames(frames)
+                try:
+                    if self._pcm_scale is not None:
+                        self.sink.write_quantized(frames.astype(np.int16))
+                    else:
+                        self.sink.write_frames(frames)
+                except SinkClosedError:
+                    # Departed consumer: stop the whole session cleanly
+                    # (feeder and main loop watch the same event; _write_out
+                    # bails on it too, so nothing deadlocks on a full ring).
+                    self._stop.set()
+                    return
                 self.stats.add_frames_out(frames.shape[1])
             elif self._compute_done.is_set():
                 return

@@ -249,6 +249,16 @@ import os as _os
 
 _STAGE2_INTERLEAVE = _os.environ.get("TOTTON_STAGE2_INTERLEAVE", "einsum")
 
+#: Whole-inverse formulation: "split" (separate real/imag einsums per
+#: stage — 4 at K=r_m + 2 at K=Q2) or "stacked" (real/imag folded into
+#: the contraction axes — ONE stage-1 einsum at K=2*r_m and ONE stage-2
+#: einsum at K=2*Q2, interleave always absorbed). Identical FLOPs; the
+#: stacked form doubles each contraction depth, which matters where K is
+#: small (stage-1 K=r_m=32 sits in the steep region of the measured MXU
+#: contraction-size law, PERF.md round 2). Env knob for same-session
+#: hardware A/B (benchmarks/bench_interleave.py --stacked).
+_ABSORBED_FORM = _os.environ.get("TOTTON_ABSORBED_FORM", "split")
+
 
 def _absorbed_eligible(cfg: OverlapSaveConfig, n_frames: int) -> bool:
     """The tile-absorbed inverse applies when the half-size inverse is a
@@ -340,6 +350,16 @@ def _stage2_matrix_interleaved(q2: int, p2: int, k2_0: int):
     return np.ascontiguousarray(a), np.ascontiguousarray(b)
 
 
+@functools.lru_cache(maxsize=64)
+def _stage2_matrix_stacked(q2: int, p2: int, k2_0: int):
+    """Interleave-absorbed stage-2 weights with the (cr, ci) pair folded
+    into the contraction: W2S[q, r, m, e] so that
+    out[..., m, k, e] = einsum('...kqr,qrme->...mke', c, W2S) — one K=2*Q2
+    matmul replacing the A/B pair of _stage2_matrix_interleaved."""
+    a, b = _stage2_matrix_interleaved(q2, p2, k2_0)
+    return np.ascontiguousarray(np.stack([a, b], axis=1))
+
+
 def _pruned_half_inverse(zr, zi, h: int, j0: int):
     """Unnormalized inverse complex FFT of length h computing only the
     output tail j >= (j0 // P2) * P2 when h is a two-stage factorization:
@@ -384,6 +404,57 @@ def _pruned_half_inverse(zr, zi, h: int, j0: int):
     return tr, ti, rem
 
 
+def _absorbed_stacked(frames, cfg: OverlapSaveConfig, m, h, p2, q2, r_m,
+                      gw_r, gw_i, split_ok: bool):
+    """Stacked whole-inverse: real/imag pairs folded into the contraction
+    axes, so the inverse is exactly TWO einsums —
+
+      stage 1 (K = 2*r_m):  c[..., k, q, r] from x2 = [x_r | x_i] and
+        W1[k, z, q, r] with z = [s | s] rows = (GW_r; GW_i | -GW_i; GW_r)
+      stage 2 (K = 2*Q2):   out[..., m, k, e] = c . W2S[q, r, m, e]
+        (interleave absorbed a la _stage2_matrix_interleaved)
+
+    — identical FLOPs to the split formulation, but each contraction depth
+    doubles (K=32 -> 64 on stage 1, where the measured MXU rate is ~linear
+    in K; PERF.md round-2 contraction-size law). A/B'd on hardware before
+    any default change."""
+    lead = frames.shape[:-1]
+    if split_ok:
+        dr, di, p_f, _ = _fft.fft2_real_split(frames.astype(jnp.float32), m)
+        w = q2 // p_f
+        # [..., f(P), k2(Q_f)] -> [..., f, s(r_m), b(w)]; k2 = s*w + b.
+        xn_r = dr.reshape(lead + (p_f, r_m, w))
+        xn_i = di.reshape(lead + (p_f, r_m, w))
+        x2 = jnp.concatenate([xn_r, xn_i], axis=-2)  # [..., f, 2s, b]
+        gws_r = gw_r.reshape(p2, r_m, w, p_f)
+        gws_i = gw_i.reshape(p2, r_m, w, p_f)
+        w1 = jnp.stack(
+            [jnp.concatenate([gws_r, -gws_i], axis=1),   # -> cr
+             jnp.concatenate([gws_i, gws_r], axis=1)],   # -> ci
+            axis=-1)  # [k, 2s, b, f, r]
+        c = jnp.einsum("...fzb,kzbfr->...kbfr", x2, w1,
+                       precision=_fft._PRECISION)
+        c = c.reshape(lead + (p2, q2, 2))
+    else:
+        xr, xi = _fft.fft2_real(frames.astype(jnp.float32), m)
+        xn_r = xr.reshape(lead + (r_m, q2))
+        xn_i = xi.reshape(lead + (r_m, q2))
+        x2 = jnp.concatenate([xn_r, xn_i], axis=-2)  # [..., 2s, q]
+        w1 = jnp.stack(
+            [jnp.concatenate([gw_r, -gw_i], axis=1),
+             jnp.concatenate([gw_i, gw_r], axis=1)],
+            axis=-1)  # [k, 2s, q, r]
+        c = jnp.einsum("...zq,kzqr->...kqr", x2, w1,
+                       precision=_fft._PRECISION)
+    j0 = cfg.overlap // 2
+    k2_0 = _aligned_k2_0(j0, p2, q2)
+    rem = j0 - k2_0 * p2
+    s2 = _stage2_matrix_stacked(q2, p2, k2_0)  # [q, r, m, e]
+    out = jnp.einsum("...kqr,qrme->...mke", c, s2,
+                     precision=_fft._PRECISION).reshape(lead + (-1,))
+    return out[..., 2 * rem : 2 * rem + cfg.block_size]
+
+
 def _upsample_frames_absorbed(
     frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
 ) -> jnp.ndarray:
@@ -426,6 +497,9 @@ def _upsample_frames_absorbed(
     # inter-stage transpose — one fewer full HBM pass per frame.
     m_factors = _fft._factorize(m)
     split_ok = len(m_factors) == 2 and q2 % m_factors[0] == 0
+    if _ABSORBED_FORM == "stacked":
+        return _absorbed_stacked(frames, cfg, m, h, p2, q2, r_m,
+                                 gw_r, gw_i, split_ok)
     if split_ok:
         dr, di, p_f, _ = _fft.fft2_real_split(frames.astype(jnp.float32), m)
         w = q2 // p_f

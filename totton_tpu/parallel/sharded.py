@@ -164,16 +164,17 @@ class ShardedUpsampler:
         # assert exact single-device equality; dithering stays with the
         # sink on sharded deployments.
         self.device_pcm = device_pcm
-        # Click-free hot swap, same contract as StreamingUpsampler: fade the
-        # first swap_fade_frames output samples of the step after a spectrum
-        # swap from old to new (the fade window lives at the start of time
-        # shard 0, where this step's output meets the previous step's).
-        # Unlike StreamingUpsampler the ramp is clamped to one step's output
-        # — a sharded step emits >= block_size * n_time samples (51072+ at
-        # the production geometry), far larger than any sensible fade, so
-        # the clamp never bites in practice.
+        # Click-free hot swap, same contract as StreamingUpsampler: fade
+        # the first swap_fade_frames output samples after a spectrum swap
+        # from old to new. The ramp position carries across steps
+        # (_fade_pos), so a fade longer than one step's output continues
+        # where it left off instead of truncating to a mid-ramp jump —
+        # the same carry StreamingUpsampler has (a sharded step usually
+        # emits >= 51072 samples, but small test geometries and long
+        # fades do spill over).
         self._swap_fade_frames = swap_fade_frames
         self._fade_from = None
+        self._fade_pos = 0
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
         self.mesh = mesh
         self._filter = filt
@@ -210,6 +211,27 @@ class ShardedUpsampler:
         import threading
 
         self._lock = threading.Lock()
+
+    @classmethod
+    def local_channel_count(cls, mesh: Mesh, channels: int) -> int:
+        """Channels THIS process will feed/drain for a global channel
+        count on this mesh — the pre-construction helper for callers that
+        must size their IO endpoints before building the engine (the CLI
+        opens sources first). Validates the same contracts the
+        constructor enforces."""
+        if channels % mesh.shape["channel"] != 0:
+            raise ValueError(
+                f"channels ({channels}) not divisible by mesh channel "
+                f"axis ({mesh.shape['channel']})"
+            )
+        rows, _cols = cls._resolve_local_block(mesh)
+        local = channels // mesh.shape["channel"] * len(rows)
+        if local == 0:
+            raise ValueError(
+                f"process {jax.process_index()} owns no channel rows for "
+                f"channels={channels} on mesh {dict(mesh.shape)}"
+            )
+        return local
 
     @staticmethod
     def _resolve_local_block(mesh: Mesh) -> tuple[list[int], list[int]]:
@@ -269,6 +291,7 @@ class ShardedUpsampler:
         with self._lock:
             self._tail = jnp.zeros_like(self._tail)
             self._fade_from = None
+            self._fade_pos = 0
 
     def _note_swap(self, old_spectrum) -> None:
         """Arm the crossfade (keep the ORIGINAL pre-swap spectrum if several
@@ -287,6 +310,7 @@ class ShardedUpsampler:
             return
         if self._swap_fade_frames and self._fade_from is None:
             self._fade_from = old_spectrum
+            self._fade_pos = 0
 
     def set_eq(self, eq_response: np.ndarray | None) -> None:
         spectrum = filter_spectrum(
@@ -391,7 +415,8 @@ class ShardedUpsampler:
         with self._lock:
             tail_before = self._tail
             y, self._tail = self._step(tail_before, xs, self._spectrum)
-            fade_from, self._fade_from = self._fade_from, None
+            fade_from = self._fade_from
+            fade_pos = self._fade_pos
             y_old = (self._step(tail_before, xs, fade_from)[0]
                      if fade_from is not None else None)
         if self.device_pcm is not None and y_old is None:
@@ -404,16 +429,24 @@ class ShardedUpsampler:
         out = self._local_output(y)
         if y_old is not None and (not self._local_time_cols
                                   or self._local_time_cols[0] == 0):
-            # The swap junction is global output position 0 of this step;
-            # only the process owning time column 0 holds that span.
+            # The fade window starts at global output position 0 of the
+            # first step after the swap; only the process owning time
+            # column 0 holds that span (fades are single-process anyway,
+            # see _note_swap).
             old = self._local_output(y_old)
-            # Same ramp convention as StreamingUpsampler: starts at exactly
-            # 0 (sample 0 pure old filter) over swap_fade_frames samples.
+            # Same ramp convention as StreamingUpsampler: starts at
+            # exactly 0 (sample 0 pure old filter) over swap_fade_frames
+            # samples, position carried across steps.
             total = self._swap_fade_frames
-            n = min(total, out.shape[1])
-            ramp = np.arange(n, dtype=np.float32) / total
+            n = min(total - fade_pos, out.shape[1])
+            ramp = (fade_pos + np.arange(n, dtype=np.float32)) / total
             out = np.array(out)
             out[:, :n] = old[:, :n] * (1.0 - ramp) + out[:, :n] * ramp
+            with self._lock:
+                self._fade_pos = fade_pos + n
+                if self._fade_pos >= total:
+                    self._fade_from = None
+                    self._fade_pos = 0
         if self.device_pcm is not None and y_old is not None:
             from totton_tpu.io.pcm import quantize_s16_host
 
