@@ -36,6 +36,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=1024)
     ap.add_argument("--k-chain", type=int, default=10)
+    ap.add_argument("--modes", default="stack,einsum,stacked",
+                    help="comma list of formulations to measure")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +66,7 @@ def main() -> int:
     y_ref = None
     # "stack"/"einsum": stage-2 interleave formulations (split inverse);
     # "stacked": whole-inverse real/imag-stacked form (2 einsums total).
-    for mode in ("stack", "einsum", "stacked"):
+    for mode in args.modes.split(","):
         # Knobs are read at trace time; a fresh jit per mode traces a
         # fresh program. (Env vars TOTTON_STAGE2_INTERLEAVE /
         # TOTTON_ABSORBED_FORM are the production knobs; this in-session
@@ -110,9 +112,10 @@ def main() -> int:
         }))
 
     for num, den in (("einsum", "stack"), ("stacked", "einsum")):
-        print(json.dumps({
-            "exp": "stage2_interleave", "mode": f"{num}/{den}",
-            "speedup": round(results[num] / results[den], 4)}))
+        if num in results and den in results:
+            print(json.dumps({
+                "exp": "stage2_interleave", "mode": f"{num}/{den}",
+                "speedup": round(results[num] / results[den], 4)}))
     return 0
 
 
