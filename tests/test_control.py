@@ -379,3 +379,38 @@ class TestFanOutDelivery:
             sub.close(0)
         finally:
             daemon.stop()
+
+    def test_late_follower_converges_via_heartbeat(self, tmp_path):
+        """THE slow-joiner e2e over real sockets: the leader's phase
+        change happens BEFORE the follower exists; the follower must
+        still converge (from the periodic state heartbeat)."""
+        import time
+
+        from totton_tpu.control.client import DaemonClient
+        from totton_tpu.control.daemon import ControlDaemon
+        from totton_tpu.control.follower import ControlFollower
+
+        endpoint = f"ipc://{tmp_path}/late_cmd.sock"
+        pub_endpoint = f"ipc://{tmp_path}/late_pub.sock"
+        daemon = ControlDaemon(endpoint=endpoint, pub_endpoint=pub_endpoint,
+                               phase_type="minimum", heartbeat_s=0.1)
+        daemon.start()
+        follower = None
+        try:
+            client = DaemonClient(endpoint=endpoint, timeout_ms=5000)
+            assert client.set_phase_type("linear").ok  # nobody listening
+
+            calls = []
+            follower = ControlFollower(
+                pub_endpoint,
+                on_phase_change=lambda p: calls.append(p))
+            follower.start()
+            deadline = time.time() + 10
+            while time.time() < deadline and "linear" not in calls:
+                time.sleep(0.05)
+            assert "linear" in calls
+            assert follower.seq_applied >= 1
+        finally:
+            if follower is not None:
+                follower.stop()
+            daemon.stop()
