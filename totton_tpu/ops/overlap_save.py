@@ -255,9 +255,11 @@ _STAGE2_INTERLEAVE = _os.environ.get("TOTTON_STAGE2_INTERLEAVE", "einsum")
 #: einsum at K=2*Q2, interleave always absorbed). Identical FLOPs; the
 #: stacked form doubles each contraction depth, which matters where K is
 #: small (stage-1 K=r_m=32 sits in the steep region of the measured MXU
-#: contraction-size law, PERF.md round 2). Env knob for same-session
-#: hardware A/B (benchmarks/bench_interleave.py --stacked).
-_ABSORBED_FORM = _os.environ.get("TOTTON_ABSORBED_FORM", "split")
+#: contraction-size law, PERF.md round 2). Default = the measured winner:
+#: stacked runs 1.23x faster at 16x/80k-tap/1024-block on the real chip
+#: (6.38 vs 5.20 G samples/s same-session, PERF.md round 3). Env knob for
+#: A/B (benchmarks/bench_interleave.py --modes einsum,stacked).
+_ABSORBED_FORM = _os.environ.get("TOTTON_ABSORBED_FORM", "stacked")
 
 
 def _absorbed_eligible(cfg: OverlapSaveConfig, n_frames: int) -> bool:
