@@ -71,8 +71,9 @@ def main() -> int:
         # fresh program. (Env vars TOTTON_STAGE2_INTERLEAVE /
         # TOTTON_ABSORBED_FORM are the production knobs; this in-session
         # mutation is bench-only.)
-        osv._ABSORBED_FORM = "stacked" if mode == "stacked" else "split"
-        osv._STAGE2_INTERLEAVE = "einsum" if mode == "stacked" else mode
+        stacked = mode in ("stacked", "stacked2")
+        osv._ABSORBED_FORM = mode if stacked else "split"
+        osv._STAGE2_INTERLEAVE = "einsum" if stacked else mode
 
         def chain(a0, xa, r, i):
             def body(acc, _):

@@ -163,6 +163,53 @@ def fft2_real_split(x, n: int):
     return dr, di, p, q
 
 
+@functools.lru_cache(maxsize=16)
+def _split_stacked_consts(p: int, q: int):
+    """Host constants of the fully-stacked two-stage real forward FFT.
+
+    W1[p, k1, r]: stage-1 DFT emitting (re, im) on a trailing axis from
+    the REAL input — one einsum instead of two.
+    W2[k1, q, rin, k2, rout]: stage-2 DFT with the inter-stage twiddle
+    FOLDED IN (V[k1, q, k2] = W_N^{k1 q} * W_Q^{q k2}) and the complex
+    product stacked into a joint (q, rin) contraction — one einsum with
+    K = 2q instead of 4 with K = q, and the twiddle's elementwise pass
+    never exists. Static (spectrum-independent), cached as numpy.
+    """
+    w1r, w1i = _dft_matrix(p, False)
+    w1 = np.stack([w1r, w1i], axis=-1)  # [p, k1, r]
+    tw_r, tw_i = _twiddle(p, q, False)  # [k1, q]
+    w2r, w2i = _dft_matrix(q, False)    # [q, k2]
+    v_r = tw_r[:, :, None] * w2r[None, :, :] - tw_i[:, :, None] * w2i[None]
+    v_i = tw_r[:, :, None] * w2i[None, :, :] + tw_i[:, :, None] * w2r[None]
+    # rin = 0 (b_re rows): (V_re, V_im); rin = 1 (b_im rows): (-V_im, V_re)
+    w2 = np.stack([
+        np.stack([v_r, v_i], axis=-1),
+        np.stack([-v_i, v_r], axis=-1),
+    ], axis=2).astype(np.float32)       # [k1, q, rin, k2, rout]
+    return np.ascontiguousarray(w1), np.ascontiguousarray(w2)
+
+
+def fft2_real_split_stacked(x, n: int):
+    """Forward FFT of a real input for two-stage sizes, fully stacked:
+    TWO einsums total, returning d[..., k1, k2, r] with r the (re, im)
+    axis — the natural-order bin is X[k2*P + k1] = (d[..., k1, k2, 0]
+    + i d[..., k1, k2, 1]). The split layout skips the inter-stage
+    transpose exactly like fft2_real_split; the trailing r axis lets a
+    stacked consumer contract (k2-derived, r) jointly without any
+    concat/stack pass. Returns (d, P, Q)."""
+    factors = _factorize(n)
+    if len(factors) != 2:
+        raise ValueError(f"fft2_real_split_stacked needs a two-stage size, "
+                         f"got {n} -> {factors}")
+    p, q = factors
+    x = _pad_last(x.astype(jnp.float32), n)
+    a = x.reshape(x.shape[:-1] + (p, q))
+    w1, w2 = _split_stacked_consts(p, q)
+    b = jnp.einsum("...pq,pkr->...kqr", a, w1, precision=_PRECISION)
+    return jnp.einsum("...fqz,fqzkr->...fkr", b, w2,
+                      precision=_PRECISION), p, q
+
+
 def _fft_rec(xr, xi, factors, inverse):
     """Unnormalized complex FFT along the last axis; len = prod(factors)."""
     n = xr.shape[-1]

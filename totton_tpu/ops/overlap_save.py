@@ -419,9 +419,34 @@ def _absorbed_stacked(frames, cfg: OverlapSaveConfig, m, h, p2, q2, r_m,
     — identical FLOPs to the split formulation, but each contraction depth
     doubles (K=32 -> 64 on stage 1, where the measured MXU rate is ~linear
     in K; PERF.md round-2 contraction-size law). A/B'd on hardware before
-    any default change."""
+    any default change.
+
+    With _ABSORBED_FORM == "stacked2" the FORWARD transform is stacked
+    too (fft.fft2_real_split_stacked: twiddle folded into static stage-2
+    weights, re/im on a trailing axis — two einsums, no elementwise
+    passes) and stage 1 here contracts (s, r) jointly straight off the
+    forward's output — no concat of the spectrum halves. The whole
+    frame pipeline is then exactly FOUR einsums."""
     lead = frames.shape[:-1]
-    if split_ok:
+    if split_ok and _ABSORBED_FORM == "stacked2":
+        d, p_f, _ = _fft.fft2_real_split_stacked(
+            frames.astype(jnp.float32), m)
+        w = q2 // p_f
+        # [..., f(P), k2(Q_f), r] -> [..., f, s(r_m), b(w), r].
+        x2 = d.reshape(lead + (p_f, r_m, w, 2))
+        gws_r = gw_r.reshape(p2, r_m, w, p_f)
+        gws_i = gw_i.reshape(p2, r_m, w, p_f)
+        # W1[k, s, rin, b, f, rout]: rin=0 (re rows) -> (GW_r, GW_i),
+        # rin=1 (im rows) -> (-GW_i, GW_r) — the same values as the
+        # concat layout below, indexed for a joint (s, r) contraction.
+        w1 = jnp.stack(
+            [jnp.stack([gws_r, gws_i], axis=-1),
+             jnp.stack([-gws_i, gws_r], axis=-1)],
+            axis=2)  # [k, s, rin, b, f, rout]
+        c = jnp.einsum("...fsbr,ksrbfx->...kbfx", x2, w1,
+                       precision=_fft._PRECISION)
+        c = c.reshape(lead + (p2, q2, 2))
+    elif split_ok:
         dr, di, p_f, _ = _fft.fft2_real_split(frames.astype(jnp.float32), m)
         w = q2 // p_f
         # [..., f(P), k2(Q_f)] -> [..., f, s(r_m), b(w)]; k2 = s*w + b.
@@ -499,7 +524,7 @@ def _upsample_frames_absorbed(
     # inter-stage transpose — one fewer full HBM pass per frame.
     m_factors = _fft._factorize(m)
     split_ok = len(m_factors) == 2 and q2 % m_factors[0] == 0
-    if _ABSORBED_FORM == "stacked":
+    if _ABSORBED_FORM in ("stacked", "stacked2"):
         return _absorbed_stacked(frames, cfg, m, h, p2, q2, r_m,
                                  gw_r, gw_i, split_ok)
     if split_ok:
