@@ -184,17 +184,22 @@ class TestAbsorbedInverse:
     counts are slow on CPU, so this drives _upsample_frames_absorbed
     directly on a reduced two-stage geometry."""
 
+    @pytest.mark.parametrize("form", ["split", "stacked", "stacked2"])
     @pytest.mark.parametrize("taps,fft,ratio", [
         (1025, 8192, 4),
         (2001, 16384, 8),
         (4097, 16384, 16),
     ])
-    def test_matches_oracle_and_folded(self, rng, taps, fft, ratio):
+    def test_matches_oracle_and_folded(self, rng, taps, fft, ratio, form,
+                                       monkeypatch):
         from totton_tpu.ops import fft as _fft
+        from totton_tpu.ops import overlap_save as osv
         from totton_tpu.ops.overlap_save import (
             _absorbed_eligible,
             _upsample_frames_absorbed,
         )
+
+        monkeypatch.setattr(osv, "_ABSORBED_FORM", form)
 
         cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
                                 block_size=fft - (taps - 1), ratio=ratio)

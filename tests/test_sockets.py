@@ -307,11 +307,17 @@ class TestPeerCloseCleanStop:
         t = threading.Thread(target=read_side)
         t.start()
         sink = open_sink(f"tcp://127.0.0.1:{port}", 48000, PcmFormat.S16_LE)
-        x = (rng.normal(size=(2, 64)) * 0.1).astype(np.float32)
+        x = (rng.normal(size=(2, 4096)) * 0.1).astype(np.float32)
         with pytest.raises(SinkClosedError):
-            # The OS may buffer a few writes before the RST surfaces.
-            for _ in range(200):
+            # The OS buffers writes until the RST surfaces; keep writing
+            # (large chunks, so the send buffer fills and blocks) until
+            # the peer's departure is delivered, bounded by a deadline
+            # rather than a fixed write count (which raced the reader
+            # thread's close under a loaded machine).
+            deadline = time.monotonic() + 15.0
+            while time.monotonic() < deadline:
                 sink.write_frames(x)
+            pytest.fail("SinkClosedError not raised within deadline")
         t.join(timeout=10)
         sink.close()
 

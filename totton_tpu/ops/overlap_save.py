@@ -257,9 +257,11 @@ _STAGE2_INTERLEAVE = _os.environ.get("TOTTON_STAGE2_INTERLEAVE", "einsum")
 #: small (stage-1 K=r_m=32 sits in the steep region of the measured MXU
 #: contraction-size law, PERF.md round 2). Default = the measured winner:
 #: stacked runs 1.23x faster at 16x/80k-tap/1024-block on the real chip
-#: (6.38 vs 5.20 G samples/s same-session, PERF.md round 3). Env knob for
-#: A/B (benchmarks/bench_interleave.py --modes einsum,stacked).
-_ABSORBED_FORM = _os.environ.get("TOTTON_ABSORBED_FORM", "stacked")
+#: (6.38 vs 5.20 G samples/s same-session) and stacked2 — the fully
+#: stacked four-einsum pipeline — another ~4-5% on top (6.59/6.41 vs
+#: 6.25/6.18 across two sessions, PERF.md round 3). Env knob for A/B
+#: (benchmarks/bench_interleave.py --modes stacked,stacked2).
+_ABSORBED_FORM = _os.environ.get("TOTTON_ABSORBED_FORM", "stacked2")
 
 
 def _absorbed_eligible(cfg: OverlapSaveConfig, n_frames: int) -> bool:
