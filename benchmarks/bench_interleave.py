@@ -38,6 +38,9 @@ def main() -> int:
     ap.add_argument("--k-chain", type=int, default=10)
     ap.add_argument("--modes", default="stack,einsum,stacked",
                     help="comma list of formulations to measure")
+    ap.add_argument("--inv-q2", default="",
+                    help="comma list of inverse Q2 splits to A/B per mode "
+                         "(0 = balanced default; see overlap_save._INV_Q2)")
     args = ap.parse_args()
 
     import jax
@@ -64,16 +67,22 @@ def main() -> int:
 
     results = {}
     y_ref = None
+    inv_q2s = [int(v) for v in args.inv_q2.split(",") if v != ""] or [None]
     # "stack"/"einsum": stage-2 interleave formulations (split inverse);
     # "stacked": whole-inverse real/imag-stacked form (2 einsums total).
-    for mode in args.modes.split(","):
+    # Each mode is crossed with every requested inverse Q2 rebalance.
+    for mode, inv_q2 in ((m, q) for m in args.modes.split(",")
+                         for q in inv_q2s):
         # Knobs are read at trace time; a fresh jit per mode traces a
         # fresh program. (Env vars TOTTON_STAGE2_INTERLEAVE /
-        # TOTTON_ABSORBED_FORM are the production knobs; this in-session
-        # mutation is bench-only.)
+        # TOTTON_ABSORBED_FORM / TOTTON_INV_Q2 are the production knobs;
+        # this in-session mutation is bench-only.)
         stacked = mode in ("stacked", "stacked2")
         osv._ABSORBED_FORM = mode if stacked else "split"
         osv._STAGE2_INTERLEAVE = "einsum" if stacked else mode
+        if inv_q2 is not None:
+            osv._INV_Q2 = inv_q2
+            mode = f"{mode}@q2={inv_q2 or 'def'}"
 
         def chain(a0, xa, r, i):
             def body(acc, _):

@@ -87,15 +87,15 @@ def bench_stages(frames: int, quick: bool) -> None:
 
     from totton_tpu.ops import fft as _fft
     from totton_tpu.ops.overlap_save import (
-        OverlapSaveConfig, _absorbed_consts, _stage2_matrix, filter_spectrum,
-        upsample_blocks, upsample_frames,
+        OverlapSaveConfig, _absorbed_consts, _inv_split, _stage2_matrix,
+        filter_spectrum, upsample_blocks, upsample_frames,
     )
 
     taps_n, fft = (8001, 16384) if quick else (80001, 131072)
     cfg = OverlapSaveConfig(taps=taps_n, fft_size=fft,
                             block_size=fft - (taps_n - 1), ratio=16)
     m, h = cfg.frame_in, cfg.fft_size // 2
-    p2, q2, r_m, t_reps, _, _ = _absorbed_consts(m, h)
+    p2, q2, r_m, t_reps, _, _ = _absorbed_consts(m, h, _inv_split(m, h)[1])
     j0 = cfg.overlap // 2
     k2_0 = j0 // p2
     cols = q2 - k2_0

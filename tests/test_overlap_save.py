@@ -184,6 +184,7 @@ class TestAbsorbedInverse:
     counts are slow on CPU, so this drives _upsample_frames_absorbed
     directly on a reduced two-stage geometry."""
 
+    @pytest.mark.parametrize("inv_q2", [0, 32, 128])
     @pytest.mark.parametrize("form", ["split", "stacked", "stacked2"])
     @pytest.mark.parametrize("taps,fft,ratio", [
         (1025, 8192, 4),
@@ -191,7 +192,10 @@ class TestAbsorbedInverse:
         (4097, 16384, 16),
     ])
     def test_matches_oracle_and_folded(self, rng, taps, fft, ratio, form,
-                                       monkeypatch):
+                                       inv_q2, monkeypatch):
+        """inv_q2 != 0 exercises the TOTTON_INV_Q2 rebalanced splits —
+        q2=32 also breaks the forward P | Q2 coupling on these
+        geometries, covering the non-split fallback branch."""
         from totton_tpu.ops import fft as _fft
         from totton_tpu.ops import overlap_save as osv
         from totton_tpu.ops.overlap_save import (
@@ -200,6 +204,7 @@ class TestAbsorbedInverse:
         )
 
         monkeypatch.setattr(osv, "_ABSORBED_FORM", form)
+        monkeypatch.setattr(osv, "_INV_Q2", inv_q2)
 
         cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
                                 block_size=fft - (taps - 1), ratio=ratio)

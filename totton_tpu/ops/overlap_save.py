@@ -263,6 +263,43 @@ _STAGE2_INTERLEAVE = _os.environ.get("TOTTON_STAGE2_INTERLEAVE", "einsum")
 #: (benchmarks/bench_interleave.py --modes stacked,stacked2).
 _ABSORBED_FORM = _os.environ.get("TOTTON_ABSORBED_FORM", "stacked2")
 
+#: Override the inverse's (P2, Q2) split: Q2 = this value, P2 = h // Q2.
+#: 0 = automatic — the balanced _factorize split, rebalanced by the
+#: measured K-curve rule in _inv_split (at the production 16x geometry
+#: that resolves to 512x128). Explicit values pin a split for hardware
+#: A/B (benchmarks/bench_interleave.py --inv-q2); e.g. TOTTON_INV_Q2=256
+#: forces the pre-rebalance balanced split.
+_INV_Q2 = int(_os.environ.get("TOTTON_INV_Q2", "0") or 0)
+
+
+def _inv_split(m: int, h: int) -> tuple[int, int] | None:
+    """(P2, Q2) factorization of the half-size inverse, or None when the
+    absorbed path doesn't apply. Honors the _INV_Q2 rebalance override
+    when it satisfies every structural divisibility the absorbed algebra
+    needs (h = P2*Q2, r_m = m/Q2 integral, t_reps = P2/r_m integral);
+    an inapplicable override silently falls back to the default split so
+    the knob can never break correctness on other geometries."""
+    if _INV_Q2 > 0 and h % _INV_Q2 == 0 and m % _INV_Q2 == 0:
+        p2, q2 = h // _INV_Q2, _INV_Q2
+        r_m = m // q2
+        if r_m > 0 and p2 % r_m == 0:
+            return p2, q2
+    factors = _fft._factorize(h)
+    if len(factors) != 2:
+        return None
+    p2, q2 = factors
+    # Measured rebalance (PERF.md round 3): when stage-1's contraction
+    # r_m = m/Q2 sits below 64 (K = 2*r_m below the ~128 knee of the
+    # K-curve), halving Q2 doubles stage-1 depth (time-flat per the
+    # ~linear steep region) and HALVES stage-2 FLOPs at a still-strong
+    # K = 2*Q2. Hardware A/B at 16x/80k-tap: (256,256) 6.61 -> (512,128)
+    # 7.12 G samples/s; overshooting to (1024,64) loses (5.09) — hence
+    # the q2 >= 256 floor, which keeps the rebalanced stage-2 K >= 256.
+    # Ratios 4/8 already have r_m >= 64 and are untouched.
+    while m % q2 == 0 and m // q2 < 64 and q2 >= 256 and q2 % 2 == 0:
+        p2, q2 = p2 * 2, q2 // 2
+    return p2, q2
+
 
 def _absorbed_eligible(cfg: OverlapSaveConfig, n_frames: int) -> bool:
     """The tile-absorbed inverse applies when the half-size inverse is a
@@ -276,22 +313,22 @@ def _absorbed_eligible(cfg: OverlapSaveConfig, n_frames: int) -> bool:
         return False
     m = cfg.frame_in
     h = cfg.fft_size // 2
-    factors = _fft._factorize(h)
-    if len(factors) != 2:
+    split = _inv_split(m, h)
+    if split is None:
         return False
-    _, q2 = factors
+    _, q2 = split
     return m % q2 == 0
 
 
 @functools.lru_cache(maxsize=64)
-def _absorbed_consts(m: int, h: int):
+def _absorbed_consts(m: int, h: int, q2: int):
     """Host constants of the tile-absorbed inverse (numpy float32 pairs).
 
     Wt[k1, t, s] = exp(+2pi i (t*r_m + s) k1 / P2)   (stage-1 DFT, p split)
     Wh[k1, q]    = exp(+2pi i k1 q / h)              (inter-stage twiddle)
     W2[q, k2']   = exp(+2pi i q (k2_0 + k2') / Q2)   (stage 2, pruned cols)
     """
-    p2, q2 = _fft._factorize(h)
+    p2 = h // q2
     r_m = m // q2
     t_reps = p2 // r_m
     k1 = np.arange(p2)[:, None, None]
@@ -496,7 +533,9 @@ def _upsample_frames_absorbed(
     ~block/2 z-domain samples (the overlap region is never computed)."""
     m = cfg.frame_in
     h = cfg.fft_size // 2
-    p2, q2, r_m, t_reps, (wt_r, wt_i), (wh_r, wh_i) = _absorbed_consts(m, h)
+    _, q2_split = _inv_split(m, h)
+    p2, q2, r_m, t_reps, (wt_r, wt_i), (wh_r, wh_i) = _absorbed_consts(
+        m, h, q2_split)
 
     # Fold the filter into the stage-1 weights (traced: hot-swap never
     # recompiles). For ratio >= 2 the two folded terms share E (the tiled
