@@ -224,6 +224,20 @@ class TestAbsorbedInverse:
         ref = np.stack([oracle_upsample(x[c], h, ratio) for c in range(2)])
         assert rel_err(y, ref[:, : y.shape[-1]]) < 1e-4
 
+    def test_production_split_resolution(self, monkeypatch):
+        """The K-curve rebalance rule resolves the production 16x inverse
+        to (512, 128) and leaves ratios 4/8 balanced (PERF.md round 3);
+        an override that violates the structural divisibilities falls
+        back to the default split instead of breaking the algebra."""
+        from totton_tpu.ops import overlap_save as osv
+
+        h = 131072 // 2
+        assert osv._inv_split(131072 // 16, h) == (512, 128)
+        assert osv._inv_split(131072 // 8, h) == (256, 256)
+        assert osv._inv_split(131072 // 4, h) == (256, 256)
+        monkeypatch.setattr(osv, "_INV_Q2", 96)  # not a divisor of h
+        assert osv._inv_split(131072 // 16, h) == (512, 128)
+
     def test_gate_respects_batch_and_ratio(self):
         from totton_tpu.ops.overlap_save import _absorbed_eligible
 
