@@ -13,16 +13,19 @@ interleave (round-2 PERF.md named it as the one unexhausted HBM lever at
   stage-2 weight bytes (A and B both [q2, p2', 2]) for zero extra FLOPs.
 
 Runs the headline geometry (80001 taps / fft 131072 / block 51072 / 16x,
-stereo) with bench.py's chained-honest-timing harness, both modes in one
-session, and prints one JSON line per mode. The winner becomes the default
-of ops.overlap_save._STAGE2_INTERLEAVE (recorded in PERF.md round 3).
+stereo) with bench.py's chained-honest-timing harness, all requested
+formulations in one session, and prints one JSON line per variant.
+Winners become the KernelTuning defaults (recorded in PERF.md).
 
   python -m benchmarks.bench_interleave [--blocks 1024] [--k-chain 10]
+      [--modes stack,einsum,stacked,stacked2] [--inv-q2 0,128,256]
+      [--fwd-p 0,64,128] [--ratio 16]
 """
 
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import sys
 import time
@@ -36,11 +39,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=1024)
     ap.add_argument("--k-chain", type=int, default=10)
+    ap.add_argument("--ratio", type=int, default=16)
     ap.add_argument("--modes", default="stack,einsum,stacked",
                     help="comma list of formulations to measure")
     ap.add_argument("--inv-q2", default="",
                     help="comma list of inverse Q2 splits to A/B per mode "
-                         "(0 = balanced default; see overlap_save._INV_Q2)")
+                         "(0 = balanced default; KernelTuning.inv_q2)")
+    ap.add_argument("--fwd-p", default="",
+                    help="comma list of forward split P values to A/B "
+                         "(0 = _factorize default; KernelTuning.fwd_p)")
     args = ap.parse_args()
 
     import jax
@@ -51,11 +58,12 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 
+    r = args.ratio
     cfg = osv.OverlapSaveConfig(taps=80001, fft_size=131072,
-                                block_size=51072, ratio=16)
+                                block_size=51072, ratio=r)
     n = np.arange(cfg.taps) - (cfg.taps - 1) / 2
-    h = np.sinc(n / 16) * np.kaiser(cfg.taps, 25.0)
-    h *= 16 * 0.99 / h.sum()
+    h = np.sinc(n / r) * np.kaiser(cfg.taps, 25.0)
+    h *= r * 0.99 / h.sum()
     hr, hi = osv.filter_spectrum(h, cfg.fft_size)
 
     channels = 2
@@ -65,29 +73,32 @@ def main() -> int:
                           cfg.halo_in + args.blocks * cfg.block_in))
          * 0.3).astype(np.float32)))
 
-    results = {}
+    results: dict[tuple, float] = {}
     y_ref = None
-    inv_q2s = [int(v) for v in args.inv_q2.split(",") if v != ""] or [None]
+    inv_q2s = [int(v) for v in args.inv_q2.split(",") if v != ""] or [0]
+    fwd_ps = [int(v) for v in args.fwd_p.split(",") if v != ""] or [0]
     # "stack"/"einsum": stage-2 interleave formulations (split inverse);
-    # "stacked": whole-inverse real/imag-stacked form (2 einsums total).
-    # Each mode is crossed with every requested inverse Q2 rebalance.
-    for mode, inv_q2 in ((m, q) for m in args.modes.split(",")
-                         for q in inv_q2s):
-        # Knobs are read at trace time; a fresh jit per mode traces a
-        # fresh program. (Env vars TOTTON_STAGE2_INTERLEAVE /
-        # TOTTON_ABSORBED_FORM / TOTTON_INV_Q2 are the production knobs;
-        # this in-session mutation is bench-only.)
+    # "stacked"/"stacked2": whole-inverse real/imag-stacked forms.
+    # Each mode is crossed with every requested inverse-Q2 rebalance and
+    # forward-split P. KernelTuning instances make each variant a distinct
+    # jit cache entry — no process restart, no module-global mutation.
+    for mode, inv_q2, fwd_p in itertools.product(
+            args.modes.split(","), inv_q2s, fwd_ps):
         stacked = mode in ("stacked", "stacked2")
-        osv._ABSORBED_FORM = mode if stacked else "split"
-        osv._STAGE2_INTERLEAVE = "einsum" if stacked else mode
-        if inv_q2 is not None:
-            osv._INV_Q2 = inv_q2
-            mode = f"{mode}@q2={inv_q2 or 'def'}"
+        tuning = osv.KernelTuning(
+            form=mode if stacked else "split",
+            stage2_interleave="einsum" if stacked else mode,
+            inv_q2=inv_q2, fwd_p=fwd_p)
+        label = mode
+        if inv_q2:
+            label += f"@q2={inv_q2}"
+        if fwd_p:
+            label += f"@p={fwd_p}"
 
-        def chain(a0, xa, r, i):
+        def chain(a0, xa, r_, i_):
             def body(acc, _):
-                y = osv.upsample_blocks(xa * (1.0 + 1e-6 * acc), (r, i),
-                                        cfg)
+                y = osv.upsample_blocks(xa * (1.0 + 1e-6 * acc), (r_, i_),
+                                        cfg, tuning)
                 return acc + jnp.sum(jnp.abs(y)), None
 
             return jax.lax.scan(body, a0, None, length=args.k_chain)[0]
@@ -95,10 +106,10 @@ def main() -> int:
         fused = jax.jit(chain)
         t0 = time.monotonic()
         v = float(fused(jnp.float32(0), x, hr, hi))
-        print(f"[{mode}] first call: {time.monotonic() - t0:.1f}s",
+        print(f"[{label}] first call: {time.monotonic() - t0:.1f}s",
               file=sys.stderr)
         assert np.isfinite(v) and v > 0
-        # Cross-mode equivalence on the measured program (same chained
+        # Cross-variant equivalence on the measured program (same chained
         # scalar: the formulations are algebraically identical).
         if y_ref is None:
             y_ref = v
@@ -113,19 +124,27 @@ def main() -> int:
 
         out_samples = channels * args.blocks * cfg.block_size * args.k_chain
         sps = out_samples / best
-        results[mode] = sps
+        results[(mode, inv_q2, fwd_p)] = sps
         print(json.dumps({
-            "exp": "stage2_interleave", "mode": mode,
+            "exp": "stage2_interleave", "mode": label,
             "blocks": args.blocks, "k_chain": args.k_chain,
             "best_s": round(best, 4),
             "g_samples_per_s": round(sps / 1e9, 3),
         }))
 
-    for num, den in (("einsum", "stack"), ("stacked", "einsum")):
-        if num in results and den in results:
-            print(json.dumps({
-                "exp": "stage2_interleave", "mode": f"{num}/{den}",
-                "speedup": round(results[num] / results[den], 4)}))
+    # Cross-mode speedups within each (inv_q2, fwd_p) group, so ratios
+    # survive an --inv-q2/--fwd-p cross product (round-3 advisor finding).
+    for q2, p in itertools.product(inv_q2s, fwd_ps):
+        for num, den in (("einsum", "stack"), ("stacked", "einsum"),
+                         ("stacked2", "stacked")):
+            a, b = results.get((num, q2, p)), results.get((den, q2, p))
+            if a and b:
+                tag = f"{num}/{den}"
+                if q2 or p:
+                    tag += f"@q2={q2},p={p}"
+                print(json.dumps({
+                    "exp": "stage2_interleave", "mode": tag,
+                    "speedup": round(a / b, 4)}))
     return 0
 
 

@@ -185,46 +185,102 @@ class TestAbsorbedInverse:
     directly on a reduced two-stage geometry."""
 
     @pytest.mark.parametrize("inv_q2", [0, 32, 128])
-    @pytest.mark.parametrize("form", ["split", "stacked", "stacked2"])
+    @pytest.mark.parametrize("form,stage2", [
+        ("split", "stack"), ("split", "einsum"),
+        ("stacked", "einsum"), ("stacked2", "einsum"),
+    ])
     @pytest.mark.parametrize("taps,fft,ratio", [
         (1025, 8192, 4),
         (2001, 16384, 8),
         (4097, 16384, 16),
     ])
     def test_matches_oracle_and_folded(self, rng, taps, fft, ratio, form,
-                                       inv_q2, monkeypatch):
-        """inv_q2 != 0 exercises the TOTTON_INV_Q2 rebalanced splits —
-        q2=32 also breaks the forward P | Q2 coupling on these
-        geometries, covering the non-split fallback branch."""
-        from totton_tpu.ops import fft as _fft
-        from totton_tpu.ops import overlap_save as osv
+                                       stage2, inv_q2):
+        """inv_q2 != 0 exercises the rebalanced splits (KernelTuning.inv_q2
+        / TOTTON_INV_Q2) — q2=32 also breaks the forward P | Q2 coupling
+        on these geometries, covering the non-split fallback branch."""
         from totton_tpu.ops.overlap_save import (
+            KernelTuning,
             _absorbed_eligible,
             _upsample_frames_absorbed,
         )
 
-        monkeypatch.setattr(osv, "_ABSORBED_FORM", form)
-        monkeypatch.setattr(osv, "_INV_Q2", inv_q2)
-
+        tuning = KernelTuning(form=form, stage2_interleave=stage2,
+                              inv_q2=inv_q2)
         cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
                                 block_size=fft - (taps - 1), ratio=ratio)
-        assert _absorbed_eligible(cfg, n_frames=64), (
+        assert _absorbed_eligible(cfg, n_frames=64, tuning=tuning), (
             "geometry must exercise the absorbed path"
         )
         h = rng.normal(size=taps) * np.exp(-np.arange(taps) * 4.0 / taps)
         spectrum = filter_spectrum(h, fft)
-        blocks = 3
         x = rng.normal(size=(2, 5 * cfg.block_in)).astype(np.float32)
         xin = np.concatenate(
             [np.zeros((2, cfg.halo_in), np.float32), x], axis=-1
         )
         frames = frame_input(jnp.asarray(xin), cfg.block_in, cfg.halo_in)
-        y = np.asarray(_upsample_frames_absorbed(frames, spectrum, cfg))
+        y = np.asarray(
+            _upsample_frames_absorbed(frames, spectrum, cfg, tuning))
         y = y.reshape(2, -1)
         ref = np.stack([oracle_upsample(x[c], h, ratio) for c in range(2)])
         assert rel_err(y, ref[:, : y.shape[-1]]) < 1e-4
 
-    def test_production_split_resolution(self, monkeypatch):
+    @pytest.mark.parametrize("fwd_p", [32, 64, 128, 96])
+    def test_forward_split_override(self, rng, fwd_p):
+        """KernelTuning.fwd_p pins the forward's two-stage split; an
+        inapplicable value (96 doesn't divide m=2048 into two power-of-two
+        stages... it doesn't divide at all) falls back to the default."""
+        from totton_tpu.ops.overlap_save import (
+            KernelTuning, _upsample_frames_absorbed,
+        )
+
+        taps, fft, ratio = 4097, 16384, 8
+        tuning = KernelTuning(fwd_p=fwd_p)
+        cfg = OverlapSaveConfig(taps=taps, fft_size=fft,
+                                block_size=fft - (taps - 1), ratio=ratio)
+        h = rng.normal(size=taps) * np.exp(-np.arange(taps) * 4.0 / taps)
+        spectrum = filter_spectrum(h, fft)
+        x = rng.normal(size=(2, 5 * cfg.block_in)).astype(np.float32)
+        xin = np.concatenate(
+            [np.zeros((2, cfg.halo_in), np.float32), x], axis=-1
+        )
+        frames = frame_input(jnp.asarray(xin), cfg.block_in, cfg.halo_in)
+        y = np.asarray(
+            _upsample_frames_absorbed(frames, spectrum, cfg, tuning))
+        y = y.reshape(2, -1)
+        ref = np.stack([oracle_upsample(x[c], h, ratio) for c in range(2)])
+        assert rel_err(y, ref[:, : y.shape[-1]]) < 1e-4
+
+    def test_tuning_validation(self):
+        from totton_tpu.ops.overlap_save import KernelTuning
+
+        with pytest.raises(ValueError, match="form"):
+            KernelTuning(form="bogus")
+        with pytest.raises(ValueError, match="stage2"):
+            KernelTuning(stage2_interleave="bogus")
+
+    def test_tuning_from_env(self, monkeypatch):
+        from totton_tpu.ops.overlap_save import KernelTuning
+
+        monkeypatch.setenv("TOTTON_ABSORBED_FORM", "stacked")
+        monkeypatch.setenv("TOTTON_INV_Q2", "256")
+        t = KernelTuning.from_env()
+        assert t.form == "stacked" and t.inv_q2 == 256
+        assert KernelTuning.from_env(inv_q2=0).inv_q2 == 0  # override wins
+
+    def test_absorbed_guard_message(self, rng):
+        """Direct callers on a single-stage inverse geometry get a clear
+        error, not an opaque NoneType unpack (round-3 advisor finding)."""
+        from totton_tpu.ops.overlap_save import _upsample_frames_absorbed
+
+        cfg = OverlapSaveConfig(taps=129, fft_size=512, block_size=384,
+                                ratio=4)
+        spectrum = filter_spectrum(rng.normal(size=129), 512)
+        frames = jnp.zeros((1, 2, cfg.frame_in), jnp.float32)
+        with pytest.raises(ValueError, match="two-stage inverse"):
+            _upsample_frames_absorbed(frames, spectrum, cfg)
+
+    def test_production_split_resolution(self):
         """The K-curve rebalance rule resolves the production 16x inverse
         to (512, 128) and leaves ratios 4/8 balanced (PERF.md round 3);
         an override that violates the structural divisibilities falls
@@ -235,8 +291,8 @@ class TestAbsorbedInverse:
         assert osv._inv_split(131072 // 16, h) == (512, 128)
         assert osv._inv_split(131072 // 8, h) == (256, 256)
         assert osv._inv_split(131072 // 4, h) == (256, 256)
-        monkeypatch.setattr(osv, "_INV_Q2", 96)  # not a divisor of h
-        assert osv._inv_split(131072 // 16, h) == (512, 128)
+        # 96 is not a divisor of h: falls back to the rebalanced default.
+        assert osv._inv_split(131072 // 16, h, inv_q2=96) == (512, 128)
 
     def test_gate_respects_batch_and_ratio(self):
         from totton_tpu.ops.overlap_save import _absorbed_eligible

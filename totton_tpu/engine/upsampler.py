@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from totton_tpu.filters.sidecar import LoadedFilter, load_filter
 from totton_tpu.io.pcm import PcmFormat
 from totton_tpu.ops.overlap_save import (
+    KernelTuning,
     OverlapSaveConfig,
     filter_spectrum,
     make_block_step,
@@ -42,6 +43,7 @@ class StreamingUpsampler:
         device_pcm: "PcmFormat | None" = None,
         pcm_dither: bool = False,
         pcm_seed: int | None = None,
+        kernel_tuning: KernelTuning | None = None,
     ) -> None:
         if channels < 1:
             raise ValueError(f"channels must be >= 1: {channels}")
@@ -57,10 +59,14 @@ class StreamingUpsampler:
         self._filter = filt
         self._channels = channels
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
+        # Kernel formulation resolved ONCE at construction (env knobs are
+        # defaults only) — A/Bs and auto-tuning swap tunings per engine,
+        # no process restart (VERDICT round 3 item 8).
+        self.kernel_tuning = kernel_tuning or KernelTuning.from_env()
         self._spectrum = filter_spectrum(
             filt.taps, self.config.fft_size, eq_response
         )
-        self._step = make_block_step(self.config)
+        self._step = make_block_step(self.config, self.kernel_tuning)
         self._tail = jnp.zeros((channels, self.config.halo_in), jnp.float32)
         # Click-free hot swap: fade the first swap_fade_frames OUTPUT samples
         # of the dispatch after a same-geometry spectrum swap from the old
@@ -192,7 +198,7 @@ class StreamingUpsampler:
             self._filter = filt
             if cfg != self.config:
                 self.config = cfg
-                self._step = make_block_step(cfg)
+                self._step = make_block_step(cfg, self.kernel_tuning)
                 self._tail = jnp.zeros((self._channels, cfg.halo_in),
                                        jnp.float32)
                 # Geometry changed: old/new outputs have different shapes,

@@ -70,6 +70,20 @@ def _factorize(n: int) -> tuple[int, ...]:
     return tuple(factors)
 
 
+def _split_factors(n: int, p: int | None = None) -> tuple[int, int] | None:
+    """Two-stage (P, Q) factorization for the split forward paths, or None
+    when n doesn't factorize into exactly two stages. An explicit ``p``
+    override wins when it yields two in-range stages (the forward-split
+    tuning knob, ops.overlap_save.KernelTuning.fwd_p); an inapplicable
+    override falls back to the balanced default so the knob can never
+    break correctness on other geometries."""
+    if p:
+        if n % p == 0 and 1 < p <= _MAX_RADIX and 1 < n // p <= _MAX_RADIX:
+            return (p, n // p)
+    factors = _factorize(n)
+    return factors if len(factors) == 2 else None
+
+
 @functools.lru_cache(maxsize=128)
 def _dft_matrix(n: int, inverse: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(re, im) of the [n, n] DFT matrix W[j, k] = exp(-+2πi jk / n)."""
@@ -135,7 +149,7 @@ def fft2_real(x, n: int | None = None):
     return _fft_rec_real(x, _factorize(n))
 
 
-def fft2_real_split(x, n: int):
+def fft2_real_split(x, n: int, p: int | None = None):
     """Forward FFT of a real input for two-stage sizes, returned in the
     PRE-TRANSPOSE split layout: (re, im) of shape [..., P, Q] where the
     natural-order bin is X[k2*P + k1] = out[..., k1, k2].
@@ -143,13 +157,13 @@ def fft2_real_split(x, n: int):
     Callers that can consume the split layout (e.g. the tile-absorbed
     overlap-save inverse, which re-indexes its weight tensor on host
     instead) skip the inter-stage transpose — one full HBM pass of the
-    spectrum per frame. Returns (re, im, P, Q); raises for sizes that
-    don't factorize into exactly two stages.
+    spectrum per frame. ``p`` pins the stage split (see _split_factors).
+    Returns (re, im, P, Q); raises for sizes that don't factorize into
+    exactly two stages.
     """
-    factors = _factorize(n)
-    if len(factors) != 2:
-        raise ValueError(f"fft2_real_split needs a two-stage size, got {n} "
-                         f"-> {factors}")
+    factors = _split_factors(n, p)
+    if factors is None:
+        raise ValueError(f"fft2_real_split needs a two-stage size, got {n}")
     p, q = factors
     x = _pad_last(x.astype(jnp.float32), n)
     a = x.reshape(x.shape[:-1] + (p, q))
@@ -189,18 +203,19 @@ def _split_stacked_consts(p: int, q: int):
     return np.ascontiguousarray(w1), np.ascontiguousarray(w2)
 
 
-def fft2_real_split_stacked(x, n: int):
+def fft2_real_split_stacked(x, n: int, p: int | None = None):
     """Forward FFT of a real input for two-stage sizes, fully stacked:
     TWO einsums total, returning d[..., k1, k2, r] with r the (re, im)
     axis — the natural-order bin is X[k2*P + k1] = (d[..., k1, k2, 0]
     + i d[..., k1, k2, 1]). The split layout skips the inter-stage
     transpose exactly like fft2_real_split; the trailing r axis lets a
     stacked consumer contract (k2-derived, r) jointly without any
-    concat/stack pass. Returns (d, P, Q)."""
-    factors = _factorize(n)
-    if len(factors) != 2:
+    concat/stack pass. ``p`` pins the stage split (see _split_factors).
+    Returns (d, P, Q)."""
+    factors = _split_factors(n, p)
+    if factors is None:
         raise ValueError(f"fft2_real_split_stacked needs a two-stage size, "
-                         f"got {n} -> {factors}")
+                         f"got {n}")
     p, q = factors
     x = _pad_last(x.astype(jnp.float32), n)
     a = x.reshape(x.shape[:-1] + (p, q))

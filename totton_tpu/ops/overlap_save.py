@@ -232,55 +232,78 @@ def _fold_g(spectrum, fft_size: int):
     return g1, g2
 
 
-#: Minimum frames per dispatch for the absorbed path. Measured on the real
-#: chip (PERF.md): below this the GW precompute and the small-K stage-1
-#: matmuls don't amortize and the folded pipeline wins.
-_ABSORBED_MIN_FRAMES = 32
-
-#: Final-stage formulation of the absorbed path: "stack" (separate Re/Im
-#: stage-2 matmuls + an explicit interleave pass) or "einsum" (interleave
-#: absorbed into the stage-2 output layout). Env knob for same-session
-#: hardware A/B (benchmarks/bench_interleave.py); default = the measured
-#: winner: einsum runs 1.19x faster at 16x/80k-tap/1024-block on the real
-#: chip (5.22 vs 4.38 G samples/s, PERF.md round 3) — the interleave was
-#: the pipeline's last full-output HBM pass and absorbing it into the
-#: stage-2 weights deletes that pass for zero extra FLOPs.
 import os as _os
 
-_STAGE2_INTERLEAVE = _os.environ.get("TOTTON_STAGE2_INTERLEAVE", "einsum")
 
-#: Whole-inverse formulation: "split" (separate real/imag einsums per
-#: stage — 4 at K=r_m + 2 at K=Q2) or "stacked" (real/imag folded into
-#: the contraction axes — ONE stage-1 einsum at K=2*r_m and ONE stage-2
-#: einsum at K=2*Q2, interleave always absorbed). Identical FLOPs; the
-#: stacked form doubles each contraction depth, which matters where K is
-#: small (stage-1 K=r_m=32 sits in the steep region of the measured MXU
-#: contraction-size law, PERF.md round 2). Default = the measured winner:
-#: stacked runs 1.23x faster at 16x/80k-tap/1024-block on the real chip
-#: (6.38 vs 5.20 G samples/s same-session) and stacked2 — the fully
-#: stacked four-einsum pipeline — another ~4-5% on top (6.59/6.41 vs
-#: 6.25/6.18 across two sessions, PERF.md round 3). Env knob for A/B
-#: (benchmarks/bench_interleave.py --modes stacked,stacked2).
-_ABSORBED_FORM = _os.environ.get("TOTTON_ABSORBED_FORM", "stacked2")
+@dataclasses.dataclass(frozen=True)
+class KernelTuning:
+    """Kernel formulation knobs, resolved at ENGINE CONSTRUCTION.
 
-#: Override the inverse's (P2, Q2) split: Q2 = this value, P2 = h // Q2.
-#: 0 = automatic — the balanced _factorize split, rebalanced by the
-#: measured K-curve rule in _inv_split (at the production 16x geometry
-#: that resolves to 512x128). Explicit values pin a split for hardware
-#: A/B (benchmarks/bench_interleave.py --inv-q2); e.g. TOTTON_INV_Q2=256
-#: forces the pre-rebalance balanced split.
-_INV_Q2 = int(_os.environ.get("TOTTON_INV_Q2", "0") or 0)
+    Every knob has a measured default (PERF.md rounds 2-4); the TOTTON_*
+    env vars seed the defaults via from_env(), but callers (engines,
+    benchmarks, auto-tuners) pass an explicit instance to A/B
+    formulations in one process — no restart required (the tuning is part
+    of make_block_step's cache key, and spectra stay traced arguments).
+
+    form: whole-inverse formulation —
+      "split":    separate real/imag einsums per stage (4 at K=r_m + 2 at
+                  K=Q2);
+      "stacked":  real/imag folded into the contraction axes — ONE
+                  stage-1 einsum at K=2*r_m and ONE stage-2 einsum at
+                  K=2*Q2, interleave always absorbed (1.23x over split
+                  at 16x/80k/1024 blocks, PERF.md round 3);
+      "stacked2": the forward transform stacked too — the whole frame
+                  pipeline is exactly FOUR einsums (+4-5% over stacked).
+    stage2_interleave ("split" form only): "einsum" absorbs the even/odd
+      output interleave into the stage-2 weights (1.19x over "stack"'s
+      explicit interleave pass, PERF.md round 3).
+    inv_q2: pin the inverse's (P2, Q2) split (Q2 = value, P2 = h//Q2);
+      0 = automatic (balanced split + the measured K-curve rebalance,
+      (512, 128) at the production 16x geometry).
+    fwd_p: pin the forward transform's two-stage split (P = value,
+      Q = m//P); 0 = automatic (_fft._factorize; (128, 64) at m=8192).
+    min_frames: below this many frames per dispatch the GW precompute
+      and small-K stage-1 matmuls don't amortize and the folded pipeline
+      wins (measured on the real chip, PERF.md).
+    """
+
+    form: str = "stacked2"
+    stage2_interleave: str = "einsum"
+    inv_q2: int = 0
+    fwd_p: int = 0
+    min_frames: int = 32
+
+    def __post_init__(self) -> None:
+        if self.form not in ("split", "stacked", "stacked2"):
+            raise ValueError(f"unknown kernel form: {self.form!r}")
+        if self.stage2_interleave not in ("stack", "einsum"):
+            raise ValueError(
+                f"unknown stage2_interleave: {self.stage2_interleave!r}")
+
+    @classmethod
+    def from_env(cls, **overrides) -> "KernelTuning":
+        """Default tuning, seeded by the TOTTON_* env knobs (deployment
+        surface, docs/deployment.md); keyword overrides win."""
+        base = {
+            "form": _os.environ.get("TOTTON_ABSORBED_FORM", "stacked2"),
+            "stage2_interleave": _os.environ.get(
+                "TOTTON_STAGE2_INTERLEAVE", "einsum"),
+            "inv_q2": int(_os.environ.get("TOTTON_INV_Q2", "0") or 0),
+            "fwd_p": int(_os.environ.get("TOTTON_FWD_P", "0") or 0),
+        }
+        base.update(overrides)
+        return cls(**base)
 
 
-def _inv_split(m: int, h: int) -> tuple[int, int] | None:
+def _inv_split(m: int, h: int, inv_q2: int = 0) -> tuple[int, int] | None:
     """(P2, Q2) factorization of the half-size inverse, or None when the
-    absorbed path doesn't apply. Honors the _INV_Q2 rebalance override
+    absorbed path doesn't apply. Honors the inv_q2 rebalance override
     when it satisfies every structural divisibility the absorbed algebra
     needs (h = P2*Q2, r_m = m/Q2 integral, t_reps = P2/r_m integral);
     an inapplicable override silently falls back to the default split so
     the knob can never break correctness on other geometries."""
-    if _INV_Q2 > 0 and h % _INV_Q2 == 0 and m % _INV_Q2 == 0:
-        p2, q2 = h // _INV_Q2, _INV_Q2
+    if inv_q2 > 0 and h % inv_q2 == 0 and m % inv_q2 == 0:
+        p2, q2 = h // inv_q2, inv_q2
         r_m = m // q2
         if r_m > 0 and p2 % r_m == 0:
             return p2, q2
@@ -301,19 +324,23 @@ def _inv_split(m: int, h: int) -> tuple[int, int] | None:
     return p2, q2
 
 
-def _absorbed_eligible(cfg: OverlapSaveConfig, n_frames: int) -> bool:
+def _absorbed_eligible(
+    cfg: OverlapSaveConfig, n_frames: int,
+    tuning: KernelTuning | None = None,
+) -> bool:
     """The tile-absorbed inverse applies when the half-size inverse is a
     two-stage factorization, the frame splits evenly into its lane factor
     (always true for the production geometries), the ratio is >= 4 (at 2x
     the tile is trivial, so absorbing only inflates GW to h*r_m weights),
     and the dispatch is batched enough to amortize the GW precompute."""
+    tuning = tuning or KernelTuning.from_env()
     if cfg.overlap % 2 != 0 or cfg.ratio < 4:
         return False
-    if n_frames < _ABSORBED_MIN_FRAMES:
+    if n_frames < tuning.min_frames:
         return False
     m = cfg.frame_in
     h = cfg.fft_size // 2
-    split = _inv_split(m, h)
+    split = _inv_split(m, h, tuning.inv_q2)
     if split is None:
         return False
     _, q2 = split
@@ -446,7 +473,7 @@ def _pruned_half_inverse(zr, zi, h: int, j0: int):
 
 
 def _absorbed_stacked(frames, cfg: OverlapSaveConfig, m, h, p2, q2, r_m,
-                      gw_r, gw_i, split_ok: bool):
+                      gw_r, gw_i, split_ok: bool, tuning: KernelTuning):
     """Stacked whole-inverse: real/imag pairs folded into the contraction
     axes, so the inverse is exactly TWO einsums —
 
@@ -460,16 +487,16 @@ def _absorbed_stacked(frames, cfg: OverlapSaveConfig, m, h, p2, q2, r_m,
     in K; PERF.md round-2 contraction-size law). A/B'd on hardware before
     any default change.
 
-    With _ABSORBED_FORM == "stacked2" the FORWARD transform is stacked
+    With tuning.form == "stacked2" the FORWARD transform is stacked
     too (fft.fft2_real_split_stacked: twiddle folded into static stage-2
     weights, re/im on a trailing axis — two einsums, no elementwise
     passes) and stage 1 here contracts (s, r) jointly straight off the
     forward's output — no concat of the spectrum halves. The whole
     frame pipeline is then exactly FOUR einsums."""
     lead = frames.shape[:-1]
-    if split_ok and _ABSORBED_FORM == "stacked2":
+    if split_ok and tuning.form == "stacked2":
         d, p_f, _ = _fft.fft2_real_split_stacked(
-            frames.astype(jnp.float32), m)
+            frames.astype(jnp.float32), m, p=tuning.fwd_p or None)
         w = q2 // p_f
         # [..., f(P), k2(Q_f), r] -> [..., f, s(r_m), b(w), r].
         x2 = d.reshape(lead + (p_f, r_m, w, 2))
@@ -486,7 +513,8 @@ def _absorbed_stacked(frames, cfg: OverlapSaveConfig, m, h, p2, q2, r_m,
                        precision=_fft._PRECISION)
         c = c.reshape(lead + (p2, q2, 2))
     elif split_ok:
-        dr, di, p_f, _ = _fft.fft2_real_split(frames.astype(jnp.float32), m)
+        dr, di, p_f, _ = _fft.fft2_real_split(
+            frames.astype(jnp.float32), m, p=tuning.fwd_p or None)
         w = q2 // p_f
         # [..., f(P), k2(Q_f)] -> [..., f, s(r_m), b(w)]; k2 = s*w + b.
         xn_r = dr.reshape(lead + (p_f, r_m, w))
@@ -522,7 +550,8 @@ def _absorbed_stacked(frames, cfg: OverlapSaveConfig, m, h, p2, q2, r_m,
 
 
 def _upsample_frames_absorbed(
-    frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
+    frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig,
+    tuning: KernelTuning | None = None,
 ) -> jnp.ndarray:
     """Tile-absorbed inverse: the hot path for ratio >= 4 (gated by
     _absorbed_eligible; 2x stays on the folded pipeline per PERF.md) (see
@@ -531,9 +560,16 @@ def _upsample_frames_absorbed(
     h-point tiled spectrum E and the elementwise Z pass of the folded
     formulation never exist, and the pruned stage 2 emits only the kept
     ~block/2 z-domain samples (the overlap region is never computed)."""
+    tuning = tuning or KernelTuning.from_env()
     m = cfg.frame_in
     h = cfg.fft_size // 2
-    _, q2_split = _inv_split(m, h)
+    split = _inv_split(m, h, tuning.inv_q2)
+    if split is None:
+        raise ValueError(
+            "absorbed path requires a two-stage inverse split "
+            f"(fft_size/2 = {h} does not factorize; use upsample_frames, "
+            "which gates on _absorbed_eligible)")
+    _, q2_split = split
     p2, q2, r_m, t_reps, (wt_r, wt_i), (wh_r, wh_i) = _absorbed_consts(
         m, h, q2_split)
 
@@ -563,13 +599,15 @@ def _upsample_frames_absorbed(
     # q = (k2 % w)*P + k1 with w = Q2/P, so re-indexing GW on the q axis
     # (a pure reshape of a traced tensor) replaces the forward's
     # inter-stage transpose — one fewer full HBM pass per frame.
-    m_factors = _fft._factorize(m)
-    split_ok = len(m_factors) == 2 and q2 % m_factors[0] == 0
-    if _ABSORBED_FORM in ("stacked", "stacked2"):
+    m_factors = _fft._split_factors(m, tuning.fwd_p or None)
+    split_ok = (m_factors is not None and len(m_factors) == 2
+                and q2 % m_factors[0] == 0)
+    if tuning.form in ("stacked", "stacked2"):
         return _absorbed_stacked(frames, cfg, m, h, p2, q2, r_m,
-                                 gw_r, gw_i, split_ok)
+                                 gw_r, gw_i, split_ok, tuning)
     if split_ok:
-        dr, di, p_f, _ = _fft.fft2_real_split(frames.astype(jnp.float32), m)
+        dr, di, p_f, _ = _fft.fft2_real_split(
+            frames.astype(jnp.float32), m, p=tuning.fwd_p or None)
         w = q2 // p_f
         lead = dr.shape[:-2]
         # [..., f(P), k2(Q_f)] -> [..., f, s(r_m), b(w)]; k2 = s*w + b.
@@ -615,7 +653,7 @@ def _upsample_frames_absorbed(
     j0 = cfg.overlap // 2
     k2_0 = _aligned_k2_0(j0, p2, q2)
     rem = j0 - k2_0 * p2
-    if _STAGE2_INTERLEAVE == "einsum":
+    if tuning.stage2_interleave == "einsum":
         # Even/odd interleave absorbed into the stage-2 output layout
         # (see _stage2_matrix_interleaved): the matmul emits
         # [..., k2', k1, e] and the interleaved block is a pure reshape —
@@ -648,7 +686,8 @@ def _upsample_frames_absorbed(
 
 
 def upsample_frames(
-    frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
+    frames: jnp.ndarray, spectrum, cfg: OverlapSaveConfig,
+    tuning: KernelTuning | None = None,
 ) -> jnp.ndarray:
     """[..., frame_in] input-rate frames -> [..., block_size] output blocks.
 
@@ -663,7 +702,7 @@ def upsample_frames(
     the in-house matmul FFT (totton_tpu.ops.fft) in real-pair form.
 
     For ratio >= 4 with a two-stage inverse and a batched dispatch
-    (_ABSORBED_MIN_FRAMES+ frames — production throughput shapes) the
+    (tuning.min_frames+ frames — production throughput shapes) the
     tile-absorbed variant is used: tiling, filter multiply, and the
     inverse's first DFT stage collapse into one precomputed [P2, r_m, Q2]
     weight tensor, and the pruned stage 2 never computes the discarded
@@ -672,13 +711,14 @@ def upsample_frames(
     Falls back to the classic rfft/extension/irfft pipeline when the
     overlap is odd (taps even — the z-domain slice needs overlap % 2 == 0).
     """
+    tuning = tuning or KernelTuning.from_env()
     m = cfg.frame_in
     h = cfg.fft_size // 2
     if cfg.overlap % 2 != 0:
         return _upsample_frames_classic(frames, spectrum, cfg)
     n_frames = math.prod(frames.shape[:-1])
-    if _absorbed_eligible(cfg, n_frames):
-        return _upsample_frames_absorbed(frames, spectrum, cfg)
+    if _absorbed_eligible(cfg, n_frames, tuning):
+        return _upsample_frames_absorbed(frames, spectrum, cfg, tuning)
 
     (g1r, g1i), (g2r, g2i) = _fold_g(spectrum, cfg.fft_size)
     reps = h // m
@@ -729,7 +769,8 @@ def _upsample_frames_classic(
 
 
 def upsample_blocks(
-    x: jnp.ndarray, spectrum, cfg: OverlapSaveConfig
+    x: jnp.ndarray, spectrum, cfg: OverlapSaveConfig,
+    tuning: KernelTuning | None = None,
 ) -> jnp.ndarray:
     """Upsample a contiguous input carrying its own history.
 
@@ -738,24 +779,30 @@ def upsample_blocks(
     Returns [..., B*block_size] float32 at the output rate.
     """
     frames = frame_input(x, cfg.block_in, cfg.halo_in)
-    blocks = upsample_frames(frames, spectrum, cfg)
+    blocks = upsample_frames(frames, spectrum, cfg, tuning)
     return blocks.reshape(x.shape[:-1] + (blocks.shape[-2] * cfg.block_size,))
 
 
 @functools.lru_cache(maxsize=64)
-def make_block_step(cfg: OverlapSaveConfig):
-    """Jitted streaming step: (tail, x, spectrum) -> (y, new_tail).
-
-    tail: [C, halo_in] carried input history; x: [C, B*block_in] fresh input;
-    returns y: [C, B*block_size] and the updated tail. The spectrum is a
-    traced argument, so filter hot-swap (RELOAD) never recompiles.
-    """
-
+def _make_block_step(cfg: OverlapSaveConfig, tuning: KernelTuning):
     @jax.jit
     def step(tail: jnp.ndarray, x: jnp.ndarray, spectrum: jnp.ndarray):
         xin = jnp.concatenate([tail, x], axis=-1)
-        y = upsample_blocks(xin, spectrum, cfg)
+        y = upsample_blocks(xin, spectrum, cfg, tuning)
         new_tail = xin[..., -cfg.halo_in :] if cfg.halo_in else tail[..., :0]
         return y, new_tail
 
     return step
+
+
+def make_block_step(cfg: OverlapSaveConfig,
+                    tuning: KernelTuning | None = None):
+    """Jitted streaming step: (tail, x, spectrum) -> (y, new_tail).
+
+    tail: [C, halo_in] carried input history; x: [C, B*block_in] fresh input;
+    returns y: [C, B*block_size] and the updated tail. The spectrum is a
+    traced argument, so filter hot-swap (RELOAD) never recompiles. The
+    tuning is resolved here (env defaults) and becomes part of the cache
+    key, so two engines with different tunings coexist in one process.
+    """
+    return _make_block_step(cfg, tuning or KernelTuning.from_env())

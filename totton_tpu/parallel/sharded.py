@@ -26,13 +26,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from totton_tpu.filters.sidecar import LoadedFilter
 from totton_tpu.ops.overlap_save import (
+    KernelTuning,
     OverlapSaveConfig,
     filter_spectrum,
     upsample_blocks,
 )
 
 
-def _local_step(tail, x_local, spectrum, cfg: OverlapSaveConfig):
+def _local_step(tail, x_local, spectrum, cfg: OverlapSaveConfig,
+                tuning: KernelTuning | None = None):
     """Per-shard body (runs under shard_map).
 
     tail: [C_local, halo_in] global stream history (used by time shard 0);
@@ -60,24 +62,13 @@ def _local_step(tail, x_local, spectrum, cfg: OverlapSaveConfig):
     else:
         xin = x_local
 
-    return upsample_blocks(xin, spectrum, cfg)
+    return upsample_blocks(xin, spectrum, cfg, tuning)
 
 
 @functools.lru_cache(maxsize=32)
-def make_sharded_step(cfg: OverlapSaveConfig, mesh: Mesh):
-    """Jitted sharded streaming step for a fixed geometry and mesh.
-
-    Returns step(tail, x, spectrum) -> (y, new_tail) where
-      x:    [C, T] float32, T divisible by (block_in * mesh 'time' size),
-            C divisible by mesh 'channel' size; sharded ('channel','time');
-      tail: [C, halo_in] replicated along 'time';
-      y:    [C, T * ratio] sharded ('channel', 'time').
-
-    The updated tail is a plain slice of the global input (the stream's last
-    halo_in samples) — computed outside shard_map so its value never depends
-    on cross-shard replication semantics.
-    """
-    body = functools.partial(_local_step, cfg=cfg)
+def _make_sharded_step(cfg: OverlapSaveConfig, mesh: Mesh,
+                       tuning: KernelTuning):
+    body = functools.partial(_local_step, cfg=cfg, tuning=tuning)
     sharded = jax.shard_map(
         body,
         mesh=mesh,
@@ -92,6 +83,24 @@ def make_sharded_step(cfg: OverlapSaveConfig, mesh: Mesh):
         return y, new_tail
 
     return step
+
+
+def make_sharded_step(cfg: OverlapSaveConfig, mesh: Mesh,
+                      tuning: KernelTuning | None = None):
+    """Jitted sharded streaming step for a fixed geometry and mesh.
+
+    Returns step(tail, x, spectrum) -> (y, new_tail) where
+      x:    [C, T] float32, T divisible by (block_in * mesh 'time' size),
+            C divisible by mesh 'channel' size; sharded ('channel','time');
+      tail: [C, halo_in] replicated along 'time';
+      y:    [C, T * ratio] sharded ('channel', 'time').
+
+    The updated tail is a plain slice of the global input (the stream's last
+    halo_in samples) — computed outside shard_map so its value never depends
+    on cross-shard replication semantics. ``tuning`` defaults to the env
+    knobs (ops.overlap_save.KernelTuning.from_env).
+    """
+    return _make_sharded_step(cfg, mesh, tuning or KernelTuning.from_env())
 
 
 def _check_shapes(cfg: OverlapSaveConfig, mesh: Mesh, channels: int, t: int):
@@ -145,6 +154,7 @@ class ShardedUpsampler:
         eq_response: np.ndarray | None = None,
         swap_fade_frames: int = 0,
         device_pcm=None,
+        kernel_tuning: KernelTuning | None = None,
     ) -> None:
         if swap_fade_frames < 0:
             raise ValueError(
@@ -179,10 +189,11 @@ class ShardedUpsampler:
         self.mesh = mesh
         self._filter = filt
         self._channels = channels
+        self.kernel_tuning = kernel_tuning or KernelTuning.from_env()
         self._spectrum = filter_spectrum(
             filt.taps, self.config.fft_size, eq_response
         )
-        self._step = make_sharded_step(self.config, mesh)
+        self._step = make_sharded_step(self.config, mesh, self.kernel_tuning)
         self._tail = jnp.zeros((channels, self.config.halo_in), jnp.float32)
         n_time = mesh.shape["time"]
         #: fresh input samples required per process_block call
