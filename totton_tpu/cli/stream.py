@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-blocks", type=int, default=None,
                    help="filter blocks per device dispatch (default auto: "
                         "deep batches for file sources, small for realtime)")
+    p.add_argument("--socket-reconnect", type=float, default=0.0,
+                   metavar="SECONDS",
+                   help="listen-mode socket input only: after the sender "
+                        "disconnects (crash, restart, or clean EOF), wait "
+                        "this long for a new sender with an identical "
+                        "stream header and splice it in (0 = off)")
     p.add_argument("--stats-path", help="write live stats JSON here")
     p.add_argument("--duration", type=float,
                    help="stop after this many seconds of input")
@@ -188,7 +194,8 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     try:
-        source = open_source(in_spec, fmt, local_channels, args.rate)
+        source = open_source(in_spec, fmt, local_channels, args.rate,
+                             socket_reconnect_s=args.socket_reconnect)
     except (OSError, ValueError) as e:
         print(f"error: cannot open input {in_spec}: {e}", file=sys.stderr)
         return 1
@@ -525,6 +532,17 @@ def main(argv: list[str] | None = None) -> int:
     print(f"frames_in={stats.frames_in} frames_out={stats.frames_out} "
           f"blocks={stats.blocks_processed} "
           f"realtime_factor={stats.realtime_factor:.1f}x", file=sys.stderr)
+    if stats.transport_errors:
+        # A mid-stream RST / NIC fault is NOT a clean stop (reference
+        # recovery semantics, src/alsa/alsa_common.cpp:269-336): report it
+        # and exit nonzero so supervisors can restart the pipeline. A
+        # recovered stream (every fault answered by a reconnect splice)
+        # still counts as success.
+        print(f"transport errors: {stats.transport_errors} "
+              f"(reconnects: {stats.reconnects}; "
+              f"last: {stats.last_transport_error})", file=sys.stderr)
+        if stats.reconnects < stats.transport_errors:
+            return 1
     return 0
 
 

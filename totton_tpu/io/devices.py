@@ -319,12 +319,13 @@ def open_source(
     fmt: PcmFormat | None = PcmFormat.S32_LE,
     channels: int = 2,
     sample_rate: int | None = None,
+    socket_reconnect_s: float = 0.0,
 ) -> AudioSource:
     from totton_tpu.io.sockets import SocketSource, SocketSpec
 
     if SocketSpec.matches(spec):
         # format/channels/rate arrive in the stream header.
-        return SocketSource(spec)
+        return SocketSource(spec, reconnect_window_s=socket_reconnect_s)
     if fmt is None:
         raise ValueError(
             "float32 wire format is socket-only; pick s16/s24/s32 for "

@@ -37,12 +37,15 @@ source side and a clean stop on the sink side.
 
 from __future__ import annotations
 
+import logging
 import os
 import socket
 import struct
 import time
 
 import numpy as np
+
+log = logging.getLogger("totton.sockets")
 
 from totton_tpu.io.devices import (
     AudioSink,
@@ -121,9 +124,20 @@ class SocketSpec:
             return
         else:
             raise ValueError(f"not a socket spec: {spec}")
-        host, sep, port = hostport.rpartition(":")
-        if not sep or not port.isdigit():
+        if hostport.startswith("["):
+            # Bracketed IPv6 literal: tcp://[::1]:9000.
+            end = hostport.find("]")
+            if end < 0 or not hostport[end + 1:].startswith(":"):
+                raise ValueError(f"socket spec needs [v6-host]:port - {spec}")
+            host, port = hostport[1:end], hostport[end + 2:]
+        else:
+            host, sep, port = hostport.rpartition(":")
+            if not sep:
+                raise ValueError(f"socket spec needs host:port - {spec}")
+        if not port.isdigit():
             raise ValueError(f"socket spec needs host:port - {spec}")
+        if ":" in host:
+            self.family = socket.AF_INET6
         self.host = host or ("0.0.0.0" if self.listen else "127.0.0.1")
         self.port = int(port)
 
@@ -142,7 +156,7 @@ def _listen(spec: SocketSpec) -> socket.socket:
         srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         srv.bind(spec.path)
     else:
-        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv = socket.socket(spec.family, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind((spec.host, spec.port))
     srv.listen(1)
@@ -183,11 +197,15 @@ def _open(spec: SocketSpec, timeout_s: float) -> socket.socket:
                     os.unlink(spec.path)
                 except FileNotFoundError:
                     pass
-    if spec.family == socket.AF_INET:
+    _tune(sock, spec)
+    return sock
+
+
+def _tune(sock: socket.socket, spec: SocketSpec) -> None:
+    if spec.family in (socket.AF_INET, socket.AF_INET6):
         # Audio frames are small and latency-sensitive.
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     sock.settimeout(None)
-    return sock
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -209,13 +227,44 @@ class SocketSource(AudioSource):
     session pre-compile its dispatch shapes and dispatch block-at-a-time
     (io/stream.py), exactly like a stdin pipe. Backpressures via TCP flow
     control, never drops.
+
+    Fault semantics (the network analog of the reference's ALSA XRUN
+    recovery loop, src/alsa/alsa_common.cpp:269-336): an orderly FIN is
+    EOF; a mid-stream RST / NIC error is a TRANSPORT ERROR — counted in
+    ``transport_errors``, errno logged, recorded in ``last_error`` so the
+    session can report it and the CLI can exit nonzero instead of folding
+    the fault into a clean stop. ``reconnect_window_s`` (listen-mode only)
+    opts into sender-restart recovery: after a disconnect the source waits
+    up to that long for a NEW peer whose header matches the original
+    format/channels/rate exactly, splices its samples into the stream
+    (``reconnects`` counts successes), and only reports EOF when the
+    window expires.
     """
 
     low_latency = True
 
     def __init__(self, spec: str,
-                 connect_timeout_s: float = CONNECT_TIMEOUT_S) -> None:
-        self._sock = _open(SocketSpec(spec), connect_timeout_s)
+                 connect_timeout_s: float = CONNECT_TIMEOUT_S,
+                 reconnect_window_s: float = 0.0) -> None:
+        self._spec = SocketSpec(spec)
+        self._reconnect_s = float(reconnect_window_s)
+        self.transport_errors = 0
+        self.reconnects = 0
+        self.last_error: str | None = None
+        self._srv: socket.socket | None = None
+        if self._reconnect_s > 0 and not self._spec.listen:
+            raise ValueError(
+                "reconnect_window_s needs a listen-mode source "
+                f"(tcp-listen:// or unix-listen:), got {spec!r}")
+        if self._reconnect_s > 0:
+            # Keep the server socket open so a restarted sender can come
+            # back; the single-shot path closes it after the first accept.
+            self._srv = _listen(self._spec)
+            self._srv.settimeout(ACCEPT_TIMEOUT_S)
+            self._sock, _addr = self._srv.accept()
+            _tune(self._sock, self._spec)
+        else:
+            self._sock = _open(self._spec, connect_timeout_s)
         self._fmt, self.channels, rate = unpack_header(
             _recv_exact(self._sock, HEADER_BYTES))
         self.sample_rate = rate or None
@@ -224,6 +273,62 @@ class SocketSource(AudioSource):
         self._buf = bytearray()
         self._eof = False
 
+    def _note_error(self, e: OSError) -> None:
+        self.transport_errors += 1
+        errno_ = getattr(e, "errno", None)
+        self.last_error = (f"{type(e).__name__}"
+                           + (f" (errno {errno_})" if errno_ else "")
+                           + (f": {e}" if str(e) else ""))
+        log.warning("socket source %s transport error: %s",
+                    self._spec.raw, self.last_error)
+
+    def _try_reconnect(self) -> bool:
+        """Wait for a restarted sender (listen-mode, opt-in). A new peer
+        must present an IDENTICAL header — a different format/channels/
+        rate mid-stream would silently corrupt the signal chain."""
+        if self._srv is None:
+            return False
+        # A disconnect can land mid-frame; drop the partial tail so the
+        # splice stays frame-aligned (whole buffered frames are kept).
+        self._buf = self._buf[:len(self._buf)
+                              - len(self._buf) % self._frame_bytes]
+        self._srv.settimeout(self._reconnect_s)
+        try:
+            peer, _addr = self._srv.accept()
+        except (socket.timeout, OSError):
+            log.warning("socket source %s: no sender within the %.1fs "
+                        "reconnect window", self._spec.raw, self._reconnect_s)
+            return False
+        try:
+            _tune(peer, self._spec)
+            fmt, channels, rate = unpack_header(
+                _recv_exact(peer, HEADER_BYTES))
+        except (OSError, ValueError, ConnectionError) as e:
+            peer.close()
+            self._note_error(e if isinstance(e, OSError)
+                             else OSError(str(e)))
+            return False
+        if (fmt, channels, rate or None) != (
+                self._fmt, self.channels, self.sample_rate):
+            peer.close()
+            self.last_error = (
+                f"reconnect header mismatch: got (fmt={fmt}, ch={channels}, "
+                f"rate={rate}), stream is (fmt={self._fmt}, "
+                f"ch={self.channels}, rate={self.sample_rate})")
+            self.transport_errors += 1
+            log.warning("socket source %s: %s", self._spec.raw,
+                        self.last_error)
+            return False
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        self._sock = peer
+        self.reconnects += 1
+        log.info("socket source %s: sender reconnected (#%d)",
+                 self._spec.raw, self.reconnects)
+        return True
+
     def read_frames(self, n: int) -> np.ndarray:
         """Blocks until >= 1 whole frame is buffered (or EOF); returns at
         most n frames — whatever arrived, for low latency."""
@@ -231,9 +336,12 @@ class SocketSource(AudioSource):
         while not self._eof and len(self._buf) < self._frame_bytes:
             try:
                 chunk = self._sock.recv(max(want - len(self._buf), 65536))
-            except (ConnectionResetError, OSError):
+            except OSError as e:
+                self._note_error(e)
                 chunk = b""
             if not chunk:
+                if self._try_reconnect():
+                    continue
                 self._eof = True
                 break
             self._buf += chunk
@@ -249,10 +357,18 @@ class SocketSource(AudioSource):
         return deinterleave(samples, self.channels)
 
     def close(self) -> None:
-        try:
-            self._sock.close()
-        except OSError:
-            pass
+        for s in (self._sock, self._srv):
+            if s is None:
+                continue
+            try:
+                s.close()
+            except OSError:
+                pass
+        if self._srv is not None and self._spec.family == socket.AF_UNIX:
+            try:
+                os.unlink(self._spec.path)
+            except FileNotFoundError:
+                pass
 
 
 class SocketSink(AudioSink):
@@ -267,21 +383,38 @@ class SocketSink(AudioSink):
                  fmt: PcmFormat | None = PcmFormat.S32_LE,
                  ditherer: TpdfDitherer | None = None,
                  connect_timeout_s: float = CONNECT_TIMEOUT_S) -> None:
-        self._sock = _open(SocketSpec(spec), connect_timeout_s)
+        self._spec = SocketSpec(spec)
+        self._sock = _open(self._spec, connect_timeout_s)
         self._rate = sample_rate
         self._fmt = fmt
         self._ditherer = ditherer
         self._header_sent = False
         self.capability = SinkCapability.unconstrained("socket")
+        self.transport_errors = 0
+        self.last_error: str | None = None
 
     def _sendall(self, raw: bytes) -> None:
         """The docstring contract 'a closed peer is a clean stop on the
-        sink side': a departed receiver surfaces as SinkClosedError, which
-        stream sessions treat like source EOF (drain + exit cleanly)."""
+        sink side': an orderly departure (BrokenPipe after the peer's FIN)
+        surfaces as SinkClosedError, which stream sessions treat like
+        source EOF (drain + exit cleanly). A connection RESET or other
+        socket error is counted as a transport error first (errno logged)
+        so stats and exit codes can distinguish a crash from a departure.
+        """
         try:
             self._sock.sendall(raw)
-        except (BrokenPipeError, ConnectionResetError) as e:
+        except BrokenPipeError as e:
             raise SinkClosedError(f"socket peer closed: {e}") from e
+        except OSError as e:
+            self.transport_errors += 1
+            errno_ = getattr(e, "errno", None)
+            self.last_error = (f"{type(e).__name__}"
+                               + (f" (errno {errno_})" if errno_ else "")
+                               + (f": {e}" if str(e) else ""))
+            log.warning("socket sink %s transport error: %s",
+                        self._spec.raw, self.last_error)
+            raise SinkClosedError(
+                f"socket transport error: {self.last_error}") from e
 
     def write_frames(self, x: np.ndarray) -> None:
         x = np.atleast_2d(x)

@@ -62,6 +62,13 @@ class StreamStats:
     sum_sq_out: float = 0.0
     metered_samples: int = 0
     clipped_samples: int = 0
+    # Transport fault accounting (socket endpoints; the network analog of
+    # the reference's ALSA xrun counters). Folded from the endpoints by
+    # fold_endpoint_faults; last_transport_error lets the CLI exit
+    # nonzero on abnormal termination instead of reporting a clean stop.
+    transport_errors: int = 0
+    reconnects: int = 0
+    last_transport_error: str | None = None
     _lock: threading.Lock = dataclasses.field(
         default_factory=threading.Lock, repr=False, compare=False)
 
@@ -95,6 +102,20 @@ class StreamStats:
         if self.process_time_s <= 0 or self.output_rate <= 0:
             return 0.0
         return (self.frames_out / self.process_time_s) / self.output_rate
+
+    def fold_endpoint_faults(self, *endpoints) -> None:
+        """Adopt transport-fault counters exposed by the endpoints (duck
+        typed: sources/sinks without the counters contribute nothing).
+        Called when a session finishes, before the final stats snapshot."""
+        with self._lock:
+            total = sum(getattr(e, "transport_errors", 0) for e in endpoints)
+            self.transport_errors = total
+            self.reconnects = sum(
+                getattr(e, "reconnects", 0) for e in endpoints)
+            for e in endpoints:
+                err = getattr(e, "last_error", None)
+                if err:
+                    self.last_transport_error = err
 
     def meter_output(self, y: np.ndarray,
                      scale: float | None = None) -> None:
@@ -152,6 +173,11 @@ class StreamStats:
             "xruns": {
                 "input_overflows": self.input_overflows,
                 "output_overflows": self.output_overflows,
+            },
+            "transport": {
+                "errors": self.transport_errors,
+                "reconnects": self.reconnects,
+                "last_error": self.last_transport_error,
             },
             "realtime_factor": self.realtime_factor,
             "process_time_s": self.process_time_s,
@@ -320,9 +346,12 @@ class StreamSession:
             return self._run(max_frames)
         except SinkClosedError:
             # A departed consumer is the sink-side analog of source EOF:
-            # stop cleanly (io/sockets.py docstring contract).
-            self._write_stats()
+            # stop cleanly (io/sockets.py docstring contract). Abnormal
+            # departures (RST) still land in the transport counters below.
             return self.stats
+        finally:
+            self.stats.fold_endpoint_faults(self.source, self.sink)
+            self._write_stats()
 
     def _run(self, max_frames: int | None) -> StreamStats:
         block_in = self.block_input_frames
@@ -587,6 +616,7 @@ class ThreadedStreamSession:
             self._compute_done.set()
             feeder.join(timeout=10)
             drainer.join(timeout=10)
+            self.stats.fold_endpoint_faults(self.source, self.sink)
             self._write_stats()
         return self.stats
 
