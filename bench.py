@@ -142,12 +142,18 @@ def main() -> int:
     # 90 dB, DEFAULT 47 dB) on either backend.
     assert snr_db > 125.0, f"kernel SNR regression: {snr_db:.1f} dB"
 
+    import jaxlib
+
     print(json.dumps({
         "metric": "upsampled_output_samples_per_s_per_chip_16x_80ktap_stereo",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": round(realtime_multiple, 2),
         "snr_db_vs_float64": round(float(snr_db), 1),
+        # Environment pin: perf claims are only comparable within one
+        # jax/jaxlib (XLA) version (requirements-lock.txt).
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
     }))
     return 0
 
