@@ -193,7 +193,15 @@ def bench_8ch_sharded(quick: bool) -> dict:
 def bench_streaming_reload(quick: bool) -> dict:
     """Config 5: streaming 16x with live EQ RELOAD mid-stream, channels x
     time sharded. Measures chained steady state and verifies the reload
-    (new spectrum as a traced arg) changes output without recompiling."""
+    (new spectrum as a traced arg) changes output without recompiling.
+
+    Granule: 32 blocks per step — the smallest latency-bounded granule
+    whose chained step rate clears 1000x realtime on the measured
+    MXU-row-starvation curve (PERF.md round 4: 16 blocks = 64 frames runs
+    1.0 G samples/s, 32 blocks 1.8 G, with step latency still < 3 ms;
+    the batch-aware inverse split keeps the balanced (256,256) form at
+    this size). A realtime source accumulates ~2.3 s of audio per granule;
+    RELOAD latency is one in-flight pipeline depth x step time (~ms)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -206,7 +214,7 @@ def bench_streaming_reload(quick: bool) -> dict:
     n_time = max(1, n_dev // 2)
     mesh = make_mesh(n_channel=min(2, n_dev), n_time=n_time)
     ups = ShardedUpsampler(lf, mesh, channels=2)
-    per_step = ups.step_input_frames * 16
+    per_step = ups.step_input_frames * 32
     while per_step // mesh.shape["time"] < ups.config.halo_in:
         per_step *= 2
     rng = np.random.default_rng(0)

@@ -12,10 +12,17 @@ zero-communication scaling per PERF.md):
 
 Each worker is `python -m totton_tpu.cli.stream --distributed
 --shard-time 1 --shard-channel 8` on 4 virtual CPU devices; --channels 8
-is the GLOBAL count, each feeds its 4 local rows. Validation: every
-dispatch granule of BOTH outputs matches the float64 no-EQ oracle before
-its process's swap point and the EQ (-12 dB preamp) oracle after it, and
-both processes actually swapped.
+is the GLOBAL count, each feeds its 4 local rows. The swap is
+STEP-SYNCHRONIZED (parallel/sharded.py schedule_swap): the leader stamps
+apply_at_step, publishes it, and both processes apply the new spectrum at
+that exact step boundary with the crossfade (--swap-fade) armed there.
+
+Validation: every dispatch granule of BOTH outputs matches the float64
+no-EQ oracle before the swap granule and the EQ (-12 dB preamp) oracle
+after it; the swap granule itself matches the FADE oracle
+(old*(1-ramp) + new*ramp, ramp anchored at the granule's first sample);
+both processes swap at the SAME granule AND report the same scheduled
+step — the round-4 Done criterion (no eventually-consistent window).
 
 Run with no arguments: exits 0 iff validated (wired into the suite by
 tests/test_multiprocess.py).
@@ -42,8 +49,9 @@ N_PROC = 2
 DEV_PER_PROC = 4
 CHANNELS = 8
 RATE = 44100
-GRANULES = 24          # total dispatch granules fed per worker
+GRANULES = 28          # total dispatch granules fed per worker
 RELOAD_AT = 10         # granule after which RELOAD is sent
+SWAP_FADE = 512        # output-frame crossfade at the scheduled boundary
 
 
 def _free_port() -> int:
@@ -115,7 +123,7 @@ def main(coord_port: int | None = None) -> int:
             "--coordinator", f"127.0.0.1:{coord}",
             "--num-processes", str(N_PROC), "--process-id", str(pid),
             "--shard-time", "1", "--shard-channel", str(CHANNELS),
-            "--swap-fade", "0",
+            "--swap-fade", str(SWAP_FADE),
             "--control-pub-endpoint", f"tcp://127.0.0.1:{pub_port}",
         ]
         if pid == 0:
@@ -168,18 +176,32 @@ def main(coord_port: int | None = None) -> int:
 
         for g in range(RELOAD_AT, GRANULES):
             feed(g)
+        scheduled_steps = []
         for w in workers:
             w.stdin.close()
         for pid, w in enumerate(workers):
             out = w.stdout.read().decode()
             ok = w.wait(timeout=600) == 0
             print(f"--- worker {pid} rc={w.returncode}")
-            if not ok or ("Live reload:" not in out):
+            import re
+
+            m = re.search(r"Live reload scheduled at step (\d+)", out)
+            if not ok or m is None:
                 print(out[-4000:])
                 rc = 1
+            else:
+                scheduled_steps.append(int(m.group(1)))
             if pid == 1 and "Control follower" not in out:
                 print("follower banner missing:", out[-2000:])
                 rc = 1
+        # Step synchronization: leader and follower must have scheduled
+        # the swap for the SAME engine step.
+        if len(scheduled_steps) == N_PROC and len(set(scheduled_steps)) != 1:
+            print(f"scheduled steps diverge: {scheduled_steps}")
+            rc = 1
+        elif scheduled_steps:
+            print(f"both processes scheduled swap at step "
+                  f"{scheduled_steps[0]}")
     except Exception as e:
         print(f"orchestration failed: {e}")
         for w in workers:
@@ -207,34 +229,59 @@ def main(coord_port: int | None = None) -> int:
         states = []
         for g in range(GRANULES):
             sl = slice(g * out_g, (g + 1) * out_g)
-            def snr(ref):
-                err = y[:, sl] - ref[:, sl]
-                p = float(np.sum(ref[:, sl] ** 2))
+
+            def snr(ref, y_sl=None):
+                y_here = y[:, sl] if y_sl is None else y_sl
+                err = y_here - ref
+                p = float(np.sum(ref ** 2))
                 return 10 * np.log10(max(p, 1e-300)
                                      / max(float(np.sum(err ** 2)), 1e-300))
-            s_old, s_new = snr(ref_old), snr(ref_new)
+            s_old, s_new = snr(ref_old[:, sl]), snr(ref_new[:, sl])
             if s_old > 60 and s_old > s_new:
                 states.append("old")
             elif s_new > 60 and s_new > s_old:
                 states.append("new")
             else:
-                print(f"worker {pid} granule {g}: matches neither oracle "
-                      f"(old {s_old:.1f} dB, new {s_new:.1f} dB)")
-                return 1
-        # Monotone old -> new with both present.
-        first_new = states.index("new") if "new" in states else None
-        if first_new is None or "old" not in states:
-            print(f"worker {pid}: no swap observed ({states})")
+                # The swap granule: its first SWAP_FADE samples are the
+                # crossfade ramp anchored at the granule's sample 0 (the
+                # scheduled step boundary). Matching this oracle asserts
+                # the swap landed at EXACTLY that output sample.
+                ramp = (np.arange(SWAP_FADE) / SWAP_FADE).astype(np.float64)
+                ref_fade = ref_new[:, sl].copy()
+                ref_fade[:, :SWAP_FADE] = (
+                    ref_old[:, sl][:, :SWAP_FADE] * (1.0 - ramp)
+                    + ref_new[:, sl][:, :SWAP_FADE] * ramp)
+                s_fade = snr(ref_fade)
+                if s_fade > 60:
+                    states.append("fade")
+                else:
+                    print(f"worker {pid} granule {g}: matches no oracle "
+                          f"(old {s_old:.1f} dB, new {s_new:.1f} dB, "
+                          f"fade {s_fade:.1f} dB)")
+                    return 1
+        # Monotone old -> fade -> new with all present (the fade granule
+        # is where the scheduled boundary landed).
+        if "fade" not in states or "old" not in states or \
+                "new" not in states:
+            print(f"worker {pid}: swap/fade not observed ({states})")
             return 1
-        if any(s == "old" for s in states[first_new:]):
+        first_swap = states.index("fade")
+        expect = (["old"] * first_swap + ["fade"]
+                  + ["new"] * (GRANULES - first_swap - 1))
+        if states != expect:
             print(f"worker {pid}: non-monotone swap ({states})")
             return 1
-        swapped.append(first_new)
-        print(f"worker {pid}: swap at granule {first_new}, "
+        swapped.append(first_swap)
+        print(f"worker {pid}: faded swap at granule {first_swap}, "
               f"{states.count('old')} old + {states.count('new')} new, "
               "all granules > 60 dB SNR vs their oracle")
 
-    print(f"stream_multiprocess: PASS (swap points {swapped})")
+    if len(set(swapped)) != 1:
+        print(f"swap landed at DIFFERENT granules across processes: "
+              f"{swapped} — step synchronization failed")
+        return 1
+    print(f"stream_multiprocess: PASS (synchronized faded swap at "
+          f"granule {swapped[0]} on all {N_PROC} processes)")
     return 0
 
 

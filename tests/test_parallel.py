@@ -291,3 +291,119 @@ class TestShardedFadeCarry:
              plain.process_block(x[:, 2 * per_step:])], axis=1)
         np.testing.assert_allclose(y_s, y_p, rtol=1e-4, atol=1e-5)
         assert sharded._fade_from is None  # fade completed and cleared
+
+
+class TestScheduledSwap:
+    """Step-synchronized hot swap (schedule_swap): the swap lands at an
+    exact step boundary with the crossfade armed there — the multi-host
+    divergence-window fix (every process schedules the same apply_at)."""
+
+    def test_applies_at_exact_step(self, small_filter, rng):
+        lf = small_filter
+        mesh = make_mesh(n_channel=2, n_time=2)
+        sharded = ShardedUpsampler(lf, mesh, channels=2)
+        step_in = sharded.block_input_frames
+        xs = [rng.normal(size=(2, step_in)).astype(np.float32) * 0.3
+              for _ in range(5)]
+        eq = np.full(sharded.config.n_bins, 0.5, np.float64)
+        at = sharded.schedule_swap(eq_response=eq, apply_at_step=3)
+        assert at == 3
+        got = [sharded.process_block(x) for x in xs]
+
+        # Reference: immediate swap exactly between step 3 and step 4.
+        ref_eng = ShardedUpsampler(lf, mesh, channels=2)
+        ref = [ref_eng.process_block(x) for x in xs[:3]]
+        ref_eng.set_eq(eq)
+        ref += [ref_eng.process_block(x) for x in xs[3:]]
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(r, g, rtol=1e-5, atol=1e-7)
+        assert sharded.swap_deadline_misses == 0
+        assert sharded.step_index == 5
+
+    def test_scheduled_swap_fades_at_boundary(self, small_filter, rng):
+        """The crossfade arms at the scheduled boundary and equals the
+        single-device engine's faded output at the same junction."""
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=4)
+        fade = 256
+        sharded = ShardedUpsampler(lf, mesh, channels=2,
+                                   swap_fade_frames=fade)
+        single = StreamingUpsampler(lf, channels=2, swap_fade_frames=fade)
+        step_in = sharded.block_input_frames
+        xs = [rng.normal(size=(2, step_in)).astype(np.float32) * 0.3
+              for _ in range(3)]
+        eq = np.full(sharded.config.n_bins, 0.5, np.float64)
+        sharded.schedule_swap(eq_response=eq, apply_at_step=2)
+        y0 = sharded.process_block(xs[0])
+        np.testing.assert_allclose(y0, single.process_block(xs[0]),
+                                   rtol=1e-5, atol=1e-7)
+        y1 = sharded.process_block(xs[1])
+        np.testing.assert_allclose(y1, single.process_block(xs[1]),
+                                   rtol=1e-5, atol=1e-7)
+        single.set_eq(eq)  # immediate on the single engine = boundary 2
+        y2 = sharded.process_block(xs[2])
+        np.testing.assert_allclose(y2, single.process_block(xs[2]),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_default_margin_stamps_future_step(self, small_filter, rng):
+        from totton_tpu.parallel.sharded import SWAP_MARGIN_STEPS
+
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=2)
+        sharded = ShardedUpsampler(lf, mesh, channels=2)
+        x = rng.normal(
+            size=(2, sharded.block_input_frames)).astype(np.float32)
+        sharded.process_block(x)
+        at = sharded.schedule_swap(
+            eq_response=np.full(sharded.config.n_bins, 0.5))
+        assert at == 1 + SWAP_MARGIN_STEPS
+
+    def test_deadline_miss_applies_late_and_counts(self, small_filter, rng,
+                                                   capsys):
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=2)
+        sharded = ShardedUpsampler(lf, mesh, channels=2)
+        step_in = sharded.block_input_frames
+        x = rng.normal(size=(2, step_in)).astype(np.float32) * 0.3
+        for _ in range(4):
+            sharded.process_block(x)
+        eq = np.full(sharded.config.n_bins, 0.5, np.float64)
+        sharded.schedule_swap(eq_response=eq, apply_at_step=2)  # passed
+        y = sharded.process_block(x)
+        assert sharded.swap_deadline_misses == 1
+        ref = ShardedUpsampler(lf, mesh, channels=2, eq_response=eq)
+        for _ in range(4):
+            ref.process_block(x)
+        np.testing.assert_allclose(y, ref.process_block(x), rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_newer_schedule_replaces_pending(self, small_filter, rng):
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=2)
+        sharded = ShardedUpsampler(lf, mesh, channels=2)
+        step_in = sharded.block_input_frames
+        x = rng.normal(size=(2, step_in)).astype(np.float32) * 0.3
+        sharded.schedule_swap(
+            eq_response=np.full(sharded.config.n_bins, 0.25), apply_at_step=1)
+        eq = np.full(sharded.config.n_bins, 0.5, np.float64)
+        sharded.schedule_swap(eq_response=eq, apply_at_step=1)
+        sharded.process_block(x)
+        y = sharded.process_block(x)
+        ref = ShardedUpsampler(lf, mesh, channels=2)
+        ref.process_block(x)
+        ref.set_eq(eq)
+        np.testing.assert_allclose(y, ref.process_block(x), rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_geometry_mismatch_rejected(self, small_filter):
+        from totton_tpu.filters.sidecar import FilterSidecar, LoadedFilter
+
+        mesh = make_mesh(n_channel=1, n_time=2)
+        sharded = ShardedUpsampler(small_filter, mesh, channels=2)
+        other = LoadedFilter(
+            taps=np.zeros(17, np.float32),
+            sidecar=FilterSidecar(coefficients_bin="<x>", taps=17,
+                                  fft_size=64, block_size=48,
+                                  upsample_factor=4))
+        with pytest.raises(ValueError, match="geometry"):
+            sharded.schedule_swap(filt=other)

@@ -403,7 +403,8 @@ def main(argv: list[str] | None = None) -> int:
 
         startup_phase = current_phase["value"]
 
-        def reload_filter(phase: str) -> None:
+        def reload_filter(phase: str,
+                          apply_at_step: int | None = None) -> dict:
             # An explicitly pinned --filter stays pinned across RELOADs
             # (the reload's purpose is then EQ/config re-read); directory
             # resolution happens only for auto lookup or a phase CHANGE,
@@ -423,11 +424,26 @@ def main(argv: list[str] | None = None) -> int:
                 # reload the filter clean and report.
                 print(f"Live reload: EQ skipped ({e})", file=sys.stderr)
                 eq, desc = None, None
+            # Multi-process meshes swap STEP-SYNCHRONIZED: the leader's
+            # engine stamps apply_at_step (published with the control
+            # event); followers schedule the same boundary, so the swap
+            # lands at the same output sample on every process and the
+            # crossfade stays click-free mesh-wide
+            # (parallel/sharded.py schedule_swap). Single process applies
+            # immediately (its fade path needs no coordination).
+            if n_procs > 1 and hasattr(upsampler, "schedule_swap"):
+                at = upsampler.schedule_swap(
+                    load_filter(path), eq_response=eq,
+                    apply_at_step=apply_at_step)
+                print(f"Live reload scheduled at step {at}: {path}"
+                      + (f" + EQ {desc}" if desc else ""), file=sys.stderr)
+                return {"apply_at_step": at}
             upsampler.load_filter(load_filter(path), eq_response=eq)
             print(f"Live reload: {path}"
                   + (f" + EQ {desc}" if desc else ""), file=sys.stderr)
+            return {}
 
-        def on_reload() -> None:
+        def on_reload(apply_at_step: int | None = None) -> dict:
             # config.json is the durable truth: RELOAD adopts its
             # filter.phaseType (the settings page PATCHes config then
             # RELOADs), keeping the daemon's reported phase in sync.
@@ -455,13 +471,14 @@ def main(argv: list[str] | None = None) -> int:
                         print("Live dither: "
                               + ("on" if settings.alsa.dither else "off"),
                               file=sys.stderr)
-            reload_filter(current_phase["value"])
+            return reload_filter(current_phase["value"], apply_at_step)
 
-        def on_phase_change(phase: str) -> None:
+        def on_phase_change(phase: str,
+                            apply_at_step: int | None = None) -> dict:
             # Reload FIRST: if the swap fails (no such filter on disk),
             # the raised error propagates to the daemon (INTERNAL reply)
             # and neither the tracked phase nor config.json moves.
-            reload_filter(phase)
+            extra = reload_filter(phase, apply_at_step)
             current_phase["value"] = phase
             # Persist so the next RELOAD / restart keeps this phase
             # (the reference's PHASE_TYPE_SET silently reverts on restart).
@@ -472,6 +489,7 @@ def main(argv: list[str] | None = None) -> int:
 
                 save_config_updates({"filter": {"phaseType": phase}},
                                     Path(args.config_path))
+            return extra
 
         if is_leader:
             daemon = ControlDaemon(

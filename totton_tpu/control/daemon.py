@@ -157,11 +157,17 @@ class ControlDaemon:
 
     def _handle_reload(self, req: ZmqRequest) -> str:
         self.reload_count += 1
+        # A callback may return extra event payload — notably
+        # apply_at_step for step-synchronized multi-host swaps (the
+        # leader's engine stamps the boundary; followers schedule the
+        # same step from the published value, parallel/sharded.py
+        # schedule_swap).
+        extra = {}
         if self._on_reload is not None:
-            self._on_reload()
+            extra = self._on_reload() or {}
         self._publish_event("reload", count=self.reload_count,
-                            phase_type=self.phase_type)
-        return build_ok({"reloaded": True})
+                            phase_type=self.phase_type, **extra)
+        return build_ok({"reloaded": True, **extra})
 
     def _handle_soft_reset(self, req: ZmqRequest) -> str:
         self.soft_reset_count += 1
@@ -183,11 +189,12 @@ class ControlDaemon:
         # Callback first: a failed engine swap (e.g. no linear filter on
         # disk) raises -> dispatch returns INTERNAL and the reported phase
         # stays what the engine is actually running.
+        extra = {}
         if self._on_phase_change is not None:
-            self._on_phase_change(phase)
+            extra = self._on_phase_change(phase) or {}
         self.phase_type = phase
-        self._publish_event("phase_type", phase_type=phase)
-        return build_ok({"phase_type": self.phase_type})
+        self._publish_event("phase_type", phase_type=phase, **extra)
+        return build_ok({"phase_type": self.phase_type, **extra})
 
     def _handle_list_devices(self, req: ZmqRequest) -> str:
         return build_ok(self._list_devices())

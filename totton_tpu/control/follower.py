@@ -79,6 +79,24 @@ class ControlFollower:
             self._on_reload()
         self.applied.append("resync")
 
+    @staticmethod
+    def _call(fn, msg: dict, *args) -> None:
+        """Invoke a callback, forwarding apply_at_step (the leader's
+        step-synchronized swap boundary, daemon _handle_reload) when the
+        callback can take it — signatures without it keep working."""
+        import inspect
+
+        kwargs = {}
+        if "apply_at_step" in msg:
+            try:
+                params = inspect.signature(fn).parameters
+                if "apply_at_step" in params or any(
+                        p.kind == p.VAR_KEYWORD for p in params.values()):
+                    kwargs["apply_at_step"] = msg.get("apply_at_step")
+            except (TypeError, ValueError):
+                pass
+        fn(*args, **kwargs)
+
     def _apply(self, msg: dict) -> None:
         event = msg.get("event")
         seq = msg.get("seq")
@@ -102,13 +120,13 @@ class ControlFollower:
         if gap and event == "phase_type":
             pass  # the resync above already applied the leader's phase
         elif event == "reload" and self._on_reload:
-            self._on_reload()
+            self._call(self._on_reload, msg)
         elif event == "soft_reset" and self._on_soft_reset:
             self._on_soft_reset()
         elif event == "phase_type" and self._on_phase_change:
             phase = msg.get("phase_type")
             if phase in ("minimum", "linear"):
-                self._on_phase_change(phase)
+                self._call(self._on_phase_change, msg, phase)
         elif event == "shutdown":
             if not self._shutdown_seen and self._on_shutdown:
                 self._shutdown_seen = True

@@ -295,13 +295,32 @@ class KernelTuning:
         return cls(**base)
 
 
-def _inv_split(m: int, h: int, inv_q2: int = 0) -> tuple[int, int] | None:
+#: Minimum frames per dispatch for the K-curve inverse-split rebalance.
+#: The rebalance trades stage-2 FLOPs for deeper stage-1 contractions,
+#: which only pays when the einsums' M dimension (= frames per dispatch)
+#: fills the MXU rows. Hardware sweep (PERF.md round 4, same session):
+#: at 16x the rebalanced (512, 128) split wins +8.3% at 1024 blocks
+#: (2048 frames) and is a wash at 256 blocks (512 frames), but LOSES
+#: 2.6-17% at <= 128 blocks (<= 256 frames) where the balanced
+#: (256, 256) split's shallower-but-wider stage 2 is cheaper — the
+#: round-3 import-time rebalance was costing the latency-bounded live
+#: streaming config ~15%.
+_REBALANCE_MIN_FRAMES = 512
+
+
+def _inv_split(m: int, h: int, inv_q2: int = 0,
+               n_frames: int | None = None) -> tuple[int, int] | None:
     """(P2, Q2) factorization of the half-size inverse, or None when the
     absorbed path doesn't apply. Honors the inv_q2 rebalance override
     when it satisfies every structural divisibility the absorbed algebra
     needs (h = P2*Q2, r_m = m/Q2 integral, t_reps = P2/r_m integral);
     an inapplicable override silently falls back to the default split so
-    the knob can never break correctness on other geometries."""
+    the knob can never break correctness on other geometries.
+
+    ``n_frames`` (the dispatch's batch size, static at trace time) gates
+    the K-curve rebalance: small dispatches keep the balanced split (see
+    _REBALANCE_MIN_FRAMES). None means "assume throughput batch".
+    """
     if inv_q2 > 0 and h % inv_q2 == 0 and m % inv_q2 == 0:
         p2, q2 = h // inv_q2, inv_q2
         r_m = m // q2
@@ -311,14 +330,17 @@ def _inv_split(m: int, h: int, inv_q2: int = 0) -> tuple[int, int] | None:
     if len(factors) != 2:
         return None
     p2, q2 = factors
+    if n_frames is not None and n_frames < _REBALANCE_MIN_FRAMES:
+        return p2, q2
     # Measured rebalance (PERF.md round 3): when stage-1's contraction
     # r_m = m/Q2 sits below 64 (K = 2*r_m below the ~128 knee of the
     # K-curve), halving Q2 doubles stage-1 depth (time-flat per the
     # ~linear steep region) and HALVES stage-2 FLOPs at a still-strong
-    # K = 2*Q2. Hardware A/B at 16x/80k-tap: (256,256) 6.61 -> (512,128)
-    # 7.12 G samples/s; overshooting to (1024,64) loses (5.09) — hence
-    # the q2 >= 256 floor, which keeps the rebalanced stage-2 K >= 256.
-    # Ratios 4/8 already have r_m >= 64 and are untouched.
+    # K = 2*Q2. Hardware A/B at 16x/80k-tap/1024 blocks: (256,256) 6.61
+    # -> (512,128) 7.12 G samples/s; overshooting to (1024,64) loses
+    # (5.09) — hence the q2 >= 256 floor, which keeps the rebalanced
+    # stage-2 K >= 256. Ratios 4/8 already have r_m >= 64 and are
+    # untouched.
     while m % q2 == 0 and m // q2 < 64 and q2 >= 256 and q2 % 2 == 0:
         p2, q2 = p2 * 2, q2 // 2
     return p2, q2
@@ -340,7 +362,7 @@ def _absorbed_eligible(
         return False
     m = cfg.frame_in
     h = cfg.fft_size // 2
-    split = _inv_split(m, h, tuning.inv_q2)
+    split = _inv_split(m, h, tuning.inv_q2, n_frames)
     if split is None:
         return False
     _, q2 = split
@@ -563,7 +585,8 @@ def _upsample_frames_absorbed(
     tuning = tuning or KernelTuning.from_env()
     m = cfg.frame_in
     h = cfg.fft_size // 2
-    split = _inv_split(m, h, tuning.inv_q2)
+    n_frames = math.prod(frames.shape[:-1])
+    split = _inv_split(m, h, tuning.inv_q2, n_frames)
     if split is None:
         raise ValueError(
             "absorbed path requires a two-stage inverse split "
