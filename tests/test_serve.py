@@ -1,0 +1,258 @@
+"""Multi-stream serving: N concurrent duplex socket streams batched on
+one engine step (totton_tpu/serve.py). Each stream must be exactly
+independent — same output as a dedicated single-stream engine."""
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from totton_tpu.engine.upsampler import upsample_signal
+from totton_tpu.filters.sidecar import FilterSidecar, LoadedFilter
+from totton_tpu.io.pcm import PcmFormat, float_to_pcm, interleave, pcm_to_float
+from totton_tpu.io.sockets import HEADER_BYTES, pack_header, unpack_header
+from totton_tpu.serve import StreamServer
+
+RATE = 44100
+
+
+def _filter(taps=33, fft=256, ratio=4, seed=5):
+    rng = np.random.default_rng(seed)
+    h = (rng.normal(size=taps) * np.exp(-np.arange(taps) * 3.0 / taps))
+    return LoadedFilter(
+        taps=h.astype(np.float32),
+        sidecar=FilterSidecar(
+            coefficients_bin="<test>", taps=taps, fft_size=fft,
+            block_size=fft - (taps - 1), upsample_factor=ratio,
+        ),
+    )
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _client_roundtrip(port: int, x: np.ndarray, fmt=None,
+                      chunk: int = 997, stagger_s: float = 0.0
+                      ) -> np.ndarray:
+    """Send [2, n] frames, half-close, read the full upsampled reply."""
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    s.sendall(pack_header(fmt, x.shape[0], RATE))
+    hdr = b""
+    while len(hdr) < HEADER_BYTES:
+        got = s.recv(HEADER_BYTES - len(hdr))
+        assert got, "server closed before sending its header"
+        hdr += got
+    rfmt, ch, rrate = unpack_header(hdr)
+    assert (rfmt, ch) == (fmt, x.shape[0])
+
+    received = bytearray()
+    done_sending = threading.Event()
+
+    def pump_in():
+        for i in range(0, x.shape[1], chunk):
+            flat = interleave(x[:, i:i + chunk])
+            if fmt is None:
+                s.sendall(flat.astype("<f4").tobytes())
+            else:
+                s.sendall(float_to_pcm(flat, fmt))
+            if stagger_s:
+                time.sleep(stagger_s)
+        s.shutdown(socket.SHUT_WR)
+        done_sending.set()
+
+    t = threading.Thread(target=pump_in)
+    t.start()
+    while True:
+        buf = s.recv(65536)
+        if not buf:
+            break
+        received += buf
+    t.join(timeout=30)
+    s.close()
+    if fmt is None:
+        flat = np.frombuffer(bytes(received), "<f4").astype(np.float32)
+    else:
+        flat = pcm_to_float(bytes(received), fmt)
+    n = len(flat) // x.shape[0]
+    return flat.reshape(n, x.shape[0]).T, rrate
+
+
+@pytest.fixture()
+def server():
+    lf = _filter()
+    port = _free_port()
+    srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                       max_streams=4, channels=2)
+    srv.start()
+    yield srv, lf, port
+    srv.stop()
+
+
+class TestSingleStream:
+    def test_round_trip_matches_oracle(self, server, rng):
+        srv, lf, port = server
+        x = (rng.normal(size=(2, 5000)) * 0.3).astype(np.float32)
+        y, out_rate = _client_roundtrip(port, x)
+        assert out_rate == RATE * lf.ratio
+        ref = upsample_signal(x, lf)
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+    def test_s16_wire_format(self, server, rng):
+        srv, lf, port = server
+        x = (rng.normal(size=(2, 2000)) * 0.3).astype(np.float32)
+        y, _ = _client_roundtrip(port, x, fmt=PcmFormat.S16_LE)
+        # The wire quantizes both directions with the library's own
+        # (reference-exact) conversion; the oracle replays both.
+        from totton_tpu.io.pcm import deinterleave
+
+        def s16_roundtrip(a):
+            return deinterleave(
+                pcm_to_float(float_to_pcm(interleave(a), PcmFormat.S16_LE),
+                             PcmFormat.S16_LE), 2)
+
+        ref = s16_roundtrip(upsample_signal(s16_roundtrip(x), lf))
+        assert y.shape == ref.shape
+        # Bit-exact: both wire directions use the reference-exact PCM
+        # conversion (clamp + truncate), which the oracle replays.
+        np.testing.assert_array_equal(y, ref)
+
+    def test_exact_block_multiple_input(self, server, rng):
+        srv, lf, port = server
+        block_in = srv.config.block_in
+        x = (rng.normal(size=(2, 3 * block_in)) * 0.3).astype(np.float32)
+        y, _ = _client_roundtrip(port, x)
+        np.testing.assert_allclose(y, upsample_signal(x, lf),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestConcurrentStreams:
+    def test_8_concurrent_streams_isolated(self, rng):
+        """8 concurrent clients (staggered joins, 4 slots -> queueing +
+        slot reuse): every stream's output equals ITS OWN single-stream
+        oracle — total isolation."""
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=4, channels=2)
+        srv.start()
+        try:
+            signals = [(rng.normal(size=(2, 3000 + 417 * i)) * 0.3)
+                       .astype(np.float32) for i in range(8)]
+            results: dict[int, np.ndarray] = {}
+            errors: list = []
+
+            def run(i: int) -> None:
+                try:
+                    # First wave takes all 4 slots; the second wave starts
+                    # after the first finishes (slot reuse).
+                    if i >= 4:
+                        time.sleep(1.0 + 0.1 * i)
+                    y, _ = _client_roundtrip(port, signals[i],
+                                             stagger_s=0.002)
+                    results[i] = y
+                except Exception as e:  # propagate to the main thread
+                    errors.append((i, e))
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert not errors, errors
+            assert len(results) == 8
+            for i, y in results.items():
+                ref = upsample_signal(signals[i], lf)
+                assert y.shape == ref.shape, (i, y.shape, ref.shape)
+                np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6,
+                                           err_msg=f"stream {i}")
+            assert srv.stats.accepted == 8
+        finally:
+            srv.stop()
+
+    def test_slot_reuse_resets_state(self, server, rng):
+        """A second client on a reused slot must see a FRESH stream (zero
+        tail), not the previous stream's history."""
+        srv, lf, port = server
+        x1 = (rng.normal(size=(2, 4000)) * 0.5).astype(np.float32)
+        x2 = (rng.normal(size=(2, 2500)) * 0.3).astype(np.float32)
+        _client_roundtrip(port, x1)
+        y2, _ = _client_roundtrip(port, x2)
+        np.testing.assert_allclose(y2, upsample_signal(x2, lf),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestAdmission:
+    def test_wrong_rate_rejected(self, server):
+        srv, lf, port = server
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(pack_header(None, 2, 48000))  # server runs 44100
+        s.settimeout(10)
+        assert s.recv(HEADER_BYTES) == b""  # closed without a header
+        s.close()
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline and srv.stats.rejected < 1:
+            time.sleep(0.05)
+        assert srv.stats.rejected == 1
+
+    def test_wrong_channels_rejected(self, server):
+        srv, lf, port = server
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(pack_header(None, 4, RATE))
+        s.settimeout(10)
+        assert s.recv(HEADER_BYTES) == b""
+        s.close()
+
+    def test_connect_listen_spec_required(self):
+        with pytest.raises(ValueError, match="listen"):
+            StreamServer(_filter(), "tcp://127.0.0.1:1", RATE)
+
+
+def test_cli_smoke(tmp_path, rng):
+    """totton-serve end to end: subprocess server, one socket client,
+    oracle match + stats file."""
+    import json
+    import subprocess
+    import sys
+
+    from totton_tpu.filters.generate import generate_one
+    from totton_tpu.filters.sidecar import load_filter
+
+    coeff = tmp_path / "coeff"
+    coeff.mkdir()
+    generate_one("44k_2x", 2000, 25.0, 140.0, "minimum", str(coeff))
+    port = _free_port()
+    stats = tmp_path / "serve_stats.json"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.serve",
+         "--listen", f"tcp-listen://127.0.0.1:{port}",
+         "--rate", str(RATE), "--ratio", "2",
+         "--filter-dir", str(coeff), "--max-streams", "2",
+         "--stats-path", str(stats), "--duration", "60"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        x = (rng.normal(size=(2, 6000)) * 0.3).astype(np.float32)
+        deadline = time.monotonic() + 240
+        y = None
+        while time.monotonic() < deadline:
+            try:
+                y, out_rate = _client_roundtrip(port, x)
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert y is not None, "server never came up"
+        assert out_rate == RATE * 2
+        lf = load_filter(next(coeff.glob("*.json")))
+        np.testing.assert_allclose(y, upsample_signal(x, lf),
+                                   rtol=1e-4, atol=1e-5)
+        j = json.loads(stats.read_text())
+        assert j["streams"]["accepted"] == 1
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -1,0 +1,514 @@
+"""Multi-stream serving: N independent audio streams on one chip.
+
+The reference architecture is one stream per process
+(src/alsa/alsa_streamer_main.cpp) — which squanders a chip that runs 16x
+stereo at thousands of times realtime. totton-serve multiplexes many
+independent client streams onto ONE batched engine dispatch:
+
+- **Slots as batch rows.** The server has a fixed number of stream slots
+  (--max-streams); each slot owns `channels` rows of one jitted step over
+  `[slots * channels, block_in]`. Shapes are static, so clients joining
+  and leaving never recompile anything.
+- **Host-managed tails.** Overlap-save state is just the last halo_in
+  INPUT samples per row — which the host already holds (it fed them). The
+  dispatcher passes each slot's tail explicitly and updates it only for
+  slots that consumed real input this step; idle slots compute garbage
+  rows that are simply discarded. No per-stream engine state lives on
+  the device, so a disconnecting client can't perturb any other stream.
+- **Natural MXU batching.** One stream's single-block step is M=2 frames
+  against the 128-lane systolic array; 64 concurrent streams make the
+  same step M=128 — serving load *improves* per-stream efficiency
+  (PERF.md round-4 row-starvation sweep).
+- **Per-stream backpressure.** A slot is dispatch-ready only when its
+  input ring holds a whole block AND its writer queue has room, so a
+  slow client throttles itself via TCP flow control and never stalls the
+  other streams (no head-of-line blocking).
+
+Wire protocol: one duplex TCP/unix connection per stream. The client
+sends the 12-byte totton header (io/sockets.py) + interleaved PCM at the
+serve rate; the server answers with a header at rate*ratio and streams
+the upsampled PCM back on the same connection. EOF (half-close) flushes
+the final partial block zero-padded/trimmed, reference file-mode
+semantics (alsa_streamer_main.cpp:301-303).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import queue
+import socket
+import threading
+import time
+
+import numpy as np
+
+from totton_tpu.filters.sidecar import LoadedFilter
+from totton_tpu.io.pcm import (
+    PcmFormat,
+    deinterleave,
+    float_to_pcm,
+    interleave,
+    pcm_to_float,
+)
+from totton_tpu.io.sockets import (
+    HEADER_BYTES,
+    SocketSpec,
+    _listen,
+    _recv_exact,
+    _tune,
+    pack_header,
+    unpack_header,
+)
+from totton_tpu.ops.overlap_save import (
+    KernelTuning,
+    OverlapSaveConfig,
+    filter_spectrum,
+    make_block_step,
+)
+
+log = logging.getLogger("totton.serve")
+
+
+@dataclasses.dataclass
+class SlotStats:
+    frames_in: int = 0
+    frames_out: int = 0
+    connected_at: float = 0.0
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class StreamSlot:
+    """One client stream: connection + rings + host-side tail."""
+
+    def __init__(self, index: int, channels: int, halo_in: int,
+                 block_in: int, out_queue_blocks: int = 8) -> None:
+        self.index = index
+        self.channels = channels
+        self.block_in = block_in
+        self.tail = np.zeros((channels, halo_in), np.float32)
+        self.buf = np.zeros((channels, 0), np.float32)
+        self.buf_lock = threading.Lock()
+        self.out: queue.Queue = queue.Queue(maxsize=out_queue_blocks)
+        self.sock: socket.socket | None = None
+        self.fmt: PcmFormat | None = None
+        self.eof = False          # client half-closed; flush then finish
+        self.flushed = False      # final partial block dispatched
+        self.finished = False     # writer told to stop (None sentinel sent)
+        self.pending_steps = 0    # dispatched steps not yet drained
+        self.closing = threading.Event()
+        self.stats = SlotStats(connected_at=time.monotonic())
+        self.reader: threading.Thread | None = None
+        self.writer: threading.Thread | None = None
+
+    def push_input(self, frames: np.ndarray) -> None:
+        with self.buf_lock:
+            self.buf = np.concatenate([self.buf, frames], axis=1)
+        self.stats.frames_in += frames.shape[1]
+
+    def take_block(self) -> tuple[np.ndarray, int] | None:
+        """A full block if available — or the zero-padded final partial
+        after EOF. Returns (block [C, block_in], valid_frames) or None."""
+        with self.buf_lock:
+            n = self.buf.shape[1]
+            if n >= self.block_in:
+                block = self.buf[:, :self.block_in]
+                self.buf = self.buf[:, self.block_in:]
+                return np.ascontiguousarray(block), self.block_in
+            if self.eof and not self.flushed:
+                self.flushed = True
+                if n == 0:
+                    return None
+                block = np.pad(self.buf, [(0, 0), (0, self.block_in - n)])
+                self.buf = self.buf[:, :0]
+                return block, n
+        return None
+
+    def ready(self) -> bool:
+        if self.sock is None or self.closing.is_set():
+            return False
+        if self.out.full():
+            return False  # slow client: let TCP backpressure throttle it
+        with self.buf_lock:
+            if self.buf.shape[1] >= self.block_in:
+                return True
+            return self.eof and not self.flushed and self.buf.shape[1] > 0
+
+
+class ServeStats:
+    """Aggregate serving counters (periodically written to stats_path)."""
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.accepted = 0
+        self.rejected = 0
+        self.finished = 0
+        self.steps = 0
+        self.frames_out = 0
+        self.start = time.monotonic()
+
+    def to_json(self, active: int, per_stream: list[dict]) -> dict:
+        with self.lock:
+            return {
+                "uptime_ms": int((time.monotonic() - self.start) * 1000),
+                "streams": {"active": active, "accepted": self.accepted,
+                            "rejected": self.rejected,
+                            "finished": self.finished},
+                "steps": self.steps,
+                "frames_out": self.frames_out,
+                "per_stream": per_stream,
+            }
+
+
+class StreamServer:
+    """Accepts duplex PCM connections and serves them from one batched
+    engine step (module docstring for the design)."""
+
+    def __init__(
+        self,
+        filt: LoadedFilter,
+        endpoint: str,
+        sample_rate: int,
+        max_streams: int = 64,
+        channels: int = 2,
+        eq_response: np.ndarray | None = None,
+        stats_path: str | None = None,
+        kernel_tuning: KernelTuning | None = None,
+    ) -> None:
+        self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
+        self.sample_rate = sample_rate
+        self.max_streams = max_streams
+        self.channels = channels
+        self.spec = SocketSpec(endpoint)
+        if not self.spec.listen:
+            raise ValueError(
+                f"serve endpoint must be a listen spec, got {endpoint!r}")
+        self._tuning = kernel_tuning or KernelTuning.from_env()
+        self._spectrum = filter_spectrum(filt.taps, self.config.fft_size,
+                                         eq_response)
+        self._step = make_block_step(self.config, self._tuning)
+        self._rows = max_streams * channels
+        self.slots = [
+            StreamSlot(i, channels, self.config.halo_in, self.config.block_in)
+            for i in range(max_streams)
+        ]
+        self._free = list(range(max_streams))
+        self._slot_lock = threading.Lock()
+        self.stats = ServeStats()
+        self._stats_path = stats_path
+        self._stop = threading.Event()
+        self._srv: socket.socket | None = None
+        self._threads: list[threading.Thread] = []
+        #: wake the dispatcher when any slot becomes ready
+        self._kick = threading.Event()
+
+    # -- connection handling ----------------------------------------------
+
+    def _acceptor(self) -> None:
+        assert self._srv is not None
+        while not self._stop.is_set():
+            try:
+                self._srv.settimeout(0.5)
+                sock, _addr = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            try:
+                _tune(sock, self.spec)
+                fmt, ch, rate = unpack_header(_recv_exact(sock, HEADER_BYTES))
+            except (OSError, ValueError, ConnectionError) as e:
+                log.warning("serve: bad client header: %s", e)
+                sock.close()
+                continue
+            if ch != self.channels or (rate and rate != self.sample_rate):
+                log.warning(
+                    "serve: rejecting stream (ch=%d rate=%d; serving "
+                    "ch=%d rate=%d)", ch, rate, self.channels,
+                    self.sample_rate)
+                with self.stats.lock:
+                    self.stats.rejected += 1
+                sock.close()
+                continue
+            with self._slot_lock:
+                idx = self._free.pop() if self._free else None
+            if idx is None:
+                log.warning("serve: all %d slots busy, rejecting",
+                            self.max_streams)
+                with self.stats.lock:
+                    self.stats.rejected += 1
+                sock.close()
+                continue
+            slot = self.slots[idx]
+            self._attach(slot, sock, fmt)
+
+    def _attach(self, slot: StreamSlot, sock: socket.socket,
+                fmt: PcmFormat | None) -> None:
+        slot.tail[:] = 0.0
+        slot.buf = np.zeros((self.channels, 0), np.float32)
+        while not slot.out.empty():
+            slot.out.get_nowait()
+        slot.eof = False
+        slot.flushed = False
+        slot.finished = False
+        slot.pending_steps = 0
+        slot.closing.clear()
+        slot.stats = SlotStats(connected_at=time.monotonic())
+        slot.fmt = fmt
+        slot.sock = sock
+        with self.stats.lock:
+            self.stats.accepted += 1
+        # Answer with the output header on the same connection.
+        sock.sendall(pack_header(fmt, self.channels,
+                                 self.sample_rate * self.config.ratio))
+        slot.reader = threading.Thread(
+            target=self._reader, args=(slot,), daemon=True,
+            name=f"totton-serve-rd{slot.index}")
+        slot.writer = threading.Thread(
+            target=self._writer, args=(slot,), daemon=True,
+            name=f"totton-serve-wr{slot.index}")
+        slot.reader.start()
+        slot.writer.start()
+        log.info("serve: stream attached to slot %d", slot.index)
+
+    def _reader(self, slot: StreamSlot) -> None:
+        frame_bytes = self.channels * (4 if slot.fmt is None
+                                       else slot.fmt.bytes)
+        pending = b""
+        try:
+            while not self._stop.is_set() and not slot.closing.is_set():
+                try:
+                    chunk = slot.sock.recv(65536)
+                except OSError:
+                    chunk = b""
+                if not chunk:
+                    break
+                pending += chunk
+                usable = len(pending) - len(pending) % frame_bytes
+                if not usable:
+                    continue
+                raw, pending = pending[:usable], pending[usable:]
+                if slot.fmt is None:
+                    flat = np.frombuffer(raw, "<f4").astype(np.float32)
+                else:
+                    flat = pcm_to_float(raw, slot.fmt)
+                slot.push_input(deinterleave(flat, self.channels))
+                self._kick.set()
+        finally:
+            slot.eof = True
+            self._kick.set()
+
+    def _writer(self, slot: StreamSlot) -> None:
+        try:
+            while True:
+                item = slot.out.get()
+                if item is None:
+                    break
+                flat = interleave(item)
+                if slot.fmt is None:
+                    raw = flat.astype("<f4", copy=False).tobytes()
+                else:
+                    raw = float_to_pcm(flat, slot.fmt)
+                try:
+                    slot.sock.sendall(raw)  # TCP backpressure per stream
+                except OSError:
+                    slot.closing.set()
+                    break
+                slot.stats.frames_out += item.shape[1]
+                self._kick.set()
+        finally:
+            self._detach(slot)
+
+    def _detach(self, slot: StreamSlot) -> None:
+        sock, slot.sock = slot.sock, None
+        if sock is not None:
+            try:
+                sock.shutdown(socket.SHUT_WR)
+            except OSError:
+                pass
+            try:
+                sock.close()
+            except OSError:
+                pass
+            # The reader exits once the socket is closed; wait for it so a
+            # stale reader can never push into the slot's NEXT stream.
+            if (slot.reader is not None
+                    and slot.reader is not threading.current_thread()):
+                slot.reader.join(timeout=10)
+            with self.stats.lock:
+                self.stats.finished += 1
+            with self._slot_lock:
+                self._free.append(slot.index)
+            log.info("serve: slot %d released", slot.index)
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _gather(self) -> tuple[np.ndarray, np.ndarray, list[tuple]] | None:
+        """Build one batched step from every ready slot. Returns
+        (x [rows, block_in], tails [rows, halo], served) where served is
+        [(slot, row0, valid_frames)], or None when nothing is ready."""
+        served = []
+        x = None
+        tails = None
+        for slot in self.slots:
+            if not slot.ready():
+                continue
+            taken = slot.take_block()
+            if taken is None:
+                continue
+            block, valid = taken
+            if x is None:
+                x = np.zeros((self._rows, self.config.block_in), np.float32)
+                tails = np.zeros((self._rows, self.config.halo_in),
+                                 np.float32)
+            r0 = slot.index * self.channels
+            x[r0:r0 + self.channels] = block
+            tails[r0:r0 + self.channels] = slot.tail
+            # Host-side tail update: the last halo_in input samples of
+            # (tail | block). Idle slots keep their tails untouched.
+            joined = np.concatenate([slot.tail, block], axis=1)
+            slot.tail = joined[:, -self.config.halo_in:]
+            slot.pending_steps += 1
+            served.append((slot, r0, valid))
+        if x is None:
+            return None
+        return x, tails, served
+
+    def _drain_one(self, inflight: list) -> None:
+        y_dev, served = inflight.pop(0)
+        y = np.asarray(y_dev)
+        for slot, r0, valid in served:
+            out = y[r0:r0 + self.channels, : valid * self.config.ratio]
+            slot.pending_steps -= 1
+            try:
+                slot.out.put(out, timeout=5.0)
+            except queue.Full:
+                # A client that stopped reading for >5 s of backpressure:
+                # cut it loose (closing the socket unblocks its writer).
+                slot.closing.set()
+                if slot.sock is not None:
+                    try:
+                        slot.sock.close()
+                    except OSError:
+                        pass
+            with self.stats.lock:
+                self.stats.frames_out += out.shape[1]
+
+    def _finish_eof_slots(self) -> None:
+        """Tell writers of fully-drained EOF streams to finish. A slot is
+        done when the client half-closed, no input remains to flush, and
+        every dispatched step has been drained to its writer queue.
+        (Dispatcher-thread only: pending_steps/flushed/finished are
+        single-threaded here.)"""
+        for slot in self.slots:
+            if slot.sock is None or slot.finished:
+                continue
+            if not slot.eof or slot.pending_steps > 0:
+                continue
+            with slot.buf_lock:
+                empty = slot.buf.shape[1] == 0
+            if empty or slot.flushed:
+                slot.finished = True
+                slot.out.put(None)  # writer drains queue then detaches
+
+    def _dispatcher(self) -> None:
+        import jax.numpy as jnp
+
+        depth = 2
+        inflight: list[tuple] = []
+        last_stats = 0.0
+
+        while not self._stop.is_set():
+            batch = self._gather()
+            if batch is None:
+                while inflight:
+                    self._drain_one(inflight)
+                self._finish_eof_slots()
+                now = time.monotonic()
+                if now - last_stats > 0.5:
+                    self._write_stats()
+                    last_stats = now
+                if self._kick.wait(timeout=0.05):
+                    self._kick.clear()
+                continue
+            x, tails, served = batch
+            y_dev, _ = self._step(jnp.asarray(tails), jnp.asarray(x),
+                                  self._spectrum)
+            inflight.append((y_dev, served))
+            with self.stats.lock:
+                self.stats.steps += 1
+            while len(inflight) > depth:
+                self._drain_one(inflight)
+            self._finish_eof_slots()
+        while inflight:
+            self._drain_one(inflight)
+
+    def _write_stats(self) -> None:
+        if not self._stats_path:
+            return
+        active = sum(1 for s in self.slots if s.sock is not None)
+        per_stream = [dict(slot=s.index, **s.stats.to_json())
+                      for s in self.slots if s.sock is not None]
+        tmp = self._stats_path + ".tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(self.stats.to_json(active, per_stream), f)
+            os.replace(tmp, self._stats_path)
+        except OSError:
+            pass
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        self._srv = _listen(self.spec)
+        # Warm the batched step shape before accepting: a first-client
+        # compile would stall every later join too.
+        import jax
+        import jax.numpy as jnp
+
+        z = jnp.zeros((self._rows, self.config.block_in), jnp.float32)
+        zt = jnp.zeros((self._rows, self.config.halo_in), jnp.float32)
+        jax.block_until_ready(self._step(zt, z, self._spectrum)[0])
+        for target, name in ((self._acceptor, "totton-serve-accept"),
+                             (self._dispatcher, "totton-serve-dispatch")):
+            t = threading.Thread(target=target, daemon=True, name=name)
+            t.start()
+            self._threads.append(t)
+        log.info("serve: listening on %s (%d slots, %d Hz -> %d Hz)",
+                 self.spec.raw, self.max_streams, self.sample_rate,
+                 self.sample_rate * self.config.ratio)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._kick.set()
+        if self._srv is not None:
+            try:
+                self._srv.close()
+            except OSError:
+                pass
+            if self.spec.family == socket.AF_UNIX:
+                try:
+                    os.unlink(self.spec.path)
+                except FileNotFoundError:
+                    pass
+        for slot in self.slots:
+            slot.closing.set()
+            if slot.sock is not None:
+                try:
+                    slot.sock.close()
+                except OSError:
+                    pass
+            try:
+                slot.out.put_nowait(None)
+            except queue.Full:
+                pass
+        for t in self._threads:
+            t.join(timeout=10)
+        self._write_stats()
+
+    def wait(self, timeout: float | None = None) -> None:
+        self._stop.wait(timeout)
