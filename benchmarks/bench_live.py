@@ -30,6 +30,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", default="16,32,64,128")
     ap.add_argument("--inv-q2", default="0,256")
+    ap.add_argument("--fwd-p", default="0",
+                    help="comma list of forward split P values "
+                         "(KernelTuning.fwd_p; 0 = auto)")
     ap.add_argument("--forms", default="stacked2")
     ap.add_argument("--k-chain", type=int, default=20)
     ap.add_argument("--min-frames", type=int, default=None,
@@ -62,12 +65,16 @@ def main() -> int:
                               cfg.halo_in + blocks * cfg.block_in))
              * 0.3).astype(np.float32)))
         for form in args.forms.split(","):
-            for q2 in [int(v) for v in args.inv_q2.split(",")]:
-                kw = {"form": form, "inv_q2": q2}
+            for q2, fp in ((q, p)
+                           for q in [int(v) for v in args.inv_q2.split(",")]
+                           for p in [int(v) for v in args.fwd_p.split(",")]):
+                kw = {"form": form, "inv_q2": q2, "fwd_p": fp}
                 if args.min_frames is not None:
                     kw["min_frames"] = args.min_frames
                 tuning = osv.KernelTuning(**kw)
                 label = f"b={blocks},{form},q2={q2 or 'auto'}"
+                if fp:
+                    label += f",p={fp}"
 
                 def chain(a0, xa, r_, i_):
                     def body(acc, _):
