@@ -25,6 +25,18 @@ from totton_tpu.ops.overlap_save import (
 )
 
 
+def _fade_width_blocks(n: int, block_size: int) -> int:
+    """Dispatch width (in blocks) for a fade window of n output samples:
+    ceil(n / block_size) rounded UP to a power of two, so the universe of
+    fade dispatch shapes is {1, 2, 4, ...} — a logarithmic warm-up set
+    instead of one shape per possible window remainder. Overlap-save
+    block j depends only on input up to (j+1)*block_in, so zero-padding
+    the input prefix to the rounded width cannot change the first n
+    samples."""
+    nb = -(-n // block_size)
+    return 1 << max(nb - 1, 0).bit_length()
+
+
 class StreamingUpsampler:
     """Stateful block-streaming upsampler for a fixed channel count.
 
@@ -258,10 +270,16 @@ class StreamingUpsampler:
                 k_blocks = x.shape[1] // self.config.block_in
                 n = min(total - self._fade_pos,
                         k_blocks * self.config.block_size)
-                nb = -(-n // self.config.block_size)  # ceil
-                y_old, _ = self._step(
-                    tail_before, xj[:, : nb * self.config.block_in],
-                    self._fade_from)
+                # Power-of-two dispatch width (zero-padded past the real
+                # input if needed) keeps the fade-shape universe
+                # logarithmic — see _fade_width_blocks.
+                nb = _fade_width_blocks(n, self.config.block_size)
+                need = nb * self.config.block_in
+                x_pref = xj[:, :need]
+                if x_pref.shape[1] < need:
+                    x_pref = jnp.pad(
+                        x_pref, ((0, 0), (0, need - x_pref.shape[1])))
+                y_old, _ = self._step(tail_before, x_pref, self._fade_from)
                 ramp = (self._fade_pos
                         + np.arange(n, dtype=np.float32)) / total
                 fade = (y_old, ramp, n)

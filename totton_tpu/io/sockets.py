@@ -147,7 +147,10 @@ class SocketSpec:
                                 "unix-listen:"))
 
 
-def _listen(spec: SocketSpec) -> socket.socket:
+def _listen(spec: SocketSpec, backlog: int = 1) -> socket.socket:
+    """Bound listening socket. backlog=1 suits the single-peer
+    source/sink endpoints; multi-client servers (totton-serve) pass
+    their concurrency so a connect burst isn't refused."""
     if spec.family == socket.AF_UNIX:
         try:
             os.unlink(spec.path)
@@ -159,7 +162,7 @@ def _listen(spec: SocketSpec) -> socket.socket:
         srv = socket.socket(spec.family, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind((spec.host, spec.port))
-    srv.listen(1)
+    srv.listen(backlog)
     return srv
 
 
@@ -206,6 +209,15 @@ def _tune(sock: socket.socket, spec: SocketSpec) -> None:
         # Audio frames are small and latency-sensitive.
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     sock.settimeout(None)
+
+
+def _error_string(e: OSError) -> str:
+    """Uniform transport-fault description (type + errno + message) used
+    by source and sink fault accounting alike."""
+    errno_ = getattr(e, "errno", None)
+    return (f"{type(e).__name__}"
+            + (f" (errno {errno_})" if errno_ else "")
+            + (f": {e}" if str(e) else ""))
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -275,10 +287,7 @@ class SocketSource(AudioSource):
 
     def _note_error(self, e: OSError) -> None:
         self.transport_errors += 1
-        errno_ = getattr(e, "errno", None)
-        self.last_error = (f"{type(e).__name__}"
-                           + (f" (errno {errno_})" if errno_ else "")
-                           + (f": {e}" if str(e) else ""))
+        self.last_error = _error_string(e)
         log.warning("socket source %s transport error: %s",
                     self._spec.raw, self.last_error)
 
@@ -407,10 +416,7 @@ class SocketSink(AudioSink):
             raise SinkClosedError(f"socket peer closed: {e}") from e
         except OSError as e:
             self.transport_errors += 1
-            errno_ = getattr(e, "errno", None)
-            self.last_error = (f"{type(e).__name__}"
-                               + (f" (errno {errno_})" if errno_ else "")
-                               + (f": {e}" if str(e) else ""))
+            self.last_error = _error_string(e)
             log.warning("socket sink %s transport error: %s",
                         self._spec.raw, self.last_error)
             raise SinkClosedError(

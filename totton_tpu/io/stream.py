@@ -230,8 +230,29 @@ def _warm_up(engine: StreamingUpsampler, channels: int, block_in: int,
     sample arrives. The engine state is reset afterwards. Low-latency
     dispatch sizes are quantized to exactly this warmed set
     (_quantize_nblocks) so no other shape can ever compile mid-stream.
+
+    Fade shapes are part of the warmed set too: a crossfaded hot-swap
+    dispatches the PARTIAL shapes covering the fade window
+    (engine.dispatch_block's nb = ceil(remaining/block_size) prefix), so
+    every nb from 1 up to the window's block count is compiled here —
+    otherwise the first live RELOAD would stall the stream on a compile.
     """
-    for nblocks in {1, max_batch_blocks}:
+    shapes = {1, max_batch_blocks}
+    # Sharded engines warm their (separate, local) fade program at
+    # construction; only the plain engine's fade shares this step.
+    fade = (0 if hasattr(engine, "mesh")
+            else getattr(engine, "_swap_fade_frames", 0))
+    if fade:
+        # Fade dispatches use power-of-two prefix widths
+        # (engine._fade_width_blocks), so the extra warm set is
+        # logarithmic in the fade length.
+        from totton_tpu.engine.upsampler import _fade_width_blocks
+
+        nb = _fade_width_blocks(fade, engine.config.block_size)
+        while nb >= 1:
+            shapes.add(nb)
+            nb //= 2
+    for nblocks in sorted(shapes):
         engine.process_block(
             np.zeros((channels, nblocks * block_in), np.float32))
     engine.reset()
@@ -474,6 +495,13 @@ class StreamSession:
                 flat = self._in_ring.read(nblocks * block_in * self.channels)
                 frames = flat.reshape(-1, self.channels).T
                 self._dispatch(frames, nblocks * block_in)
+            if self._low_latency:
+                # About to block in read_frames: completed audio must not
+                # sit retained in the pipeline — for realtime sessions the
+                # device is paced by the source anyway, so draining here
+                # costs no throughput and keeps output latency at one
+                # dispatch, not PIPELINE_DEPTH of them.
+                self._pipeline.flush()
 
             if eof:
                 # Final partial block: zero-pad, emit only real frames
@@ -690,6 +718,11 @@ class ThreadedStreamSession:
                 elif self._stop.is_set():
                     break
                 else:
+                    # Input-starved: drain in-flight steps instead of
+                    # retaining completed audio (the device would idle
+                    # either way; this keeps live output latency at one
+                    # dispatch rather than PIPELINE_DEPTH of them).
+                    self._pipeline.flush()
                     time.sleep(0.001)
         finally:
             # Drain in-flight pipelined steps BEFORE signaling the drainer

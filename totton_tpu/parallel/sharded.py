@@ -201,6 +201,7 @@ class ShardedUpsampler:
         self._swap_fade_frames = swap_fade_frames
         self._fade_from = None
         self._fade_pos = 0
+        self._fade_total = None
         # Step-synchronized hot swap (multi-host): every dispatch advances
         # step_index in lockstep across processes (each participates in
         # every collective step), so a swap scheduled for the same
@@ -258,13 +259,24 @@ class ShardedUpsampler:
         # mid-stream.
         self._fade_step = None
         if swap_fade_frames > 0 and self._owns_col0:
+            from totton_tpu.engine.upsampler import _fade_width_blocks
+
             self._fade_step = make_block_step(self.config,
                                               self.kernel_tuning)
             zt = jnp.zeros((self.local_channels, self.config.halo_in),
                            jnp.float32)
-            z = jnp.zeros((self.local_channels, self.config.block_in),
-                          jnp.float32)
-            jax.block_until_ready(self._fade_step(zt, z, self._spectrum)[0])
+            # Warm every power-of-two prefix width the fade window can
+            # dispatch (_fade_width_blocks quantization — logarithmic
+            # set) so a live fade never compiles mid-stream.
+            nb = _fade_width_blocks(swap_fade_frames,
+                                    self.config.block_size)
+            while nb >= 1:
+                z = jnp.zeros(
+                    (self.local_channels, nb * self.config.block_in),
+                    jnp.float32)
+                jax.block_until_ready(
+                    self._fade_step(zt, z, self._spectrum)[0])
+                nb //= 2
 
     @classmethod
     def local_channel_count(cls, mesh: Mesh, channels: int) -> int:
@@ -346,6 +358,7 @@ class ShardedUpsampler:
             self._tail = jnp.zeros_like(self._tail)
             self._fade_from = None
             self._fade_pos = 0
+            self._fade_total = None
 
     def _note_swap(self, old_spectrum) -> None:
         """Arm the crossfade (keep the ORIGINAL pre-swap spectrum if several
@@ -572,16 +585,40 @@ class ShardedUpsampler:
                 # position bookkeeping runs identically on EVERY process
                 # (local output spans are equal) so fade state machines
                 # stay in lockstep; only the column-0 owner computes/mixes.
-                total = self._swap_fade_frames
                 local_out = x.shape[1] * self.config.ratio
+                if self._fade_total is None:
+                    self._fade_total = self._swap_fade_frames
+                    if (jax.process_count() > 1
+                            and self.mesh.shape["time"] > 1):
+                        # Time-sharded multi-process: samples beyond this
+                        # process's per-step span belong to ANOTHER
+                        # process's time columns, which hold no y_old —
+                        # confine the ramp to column 0's span so it
+                        # completes exactly at the span boundary (the
+                        # neighbor's pure-new samples continue seamlessly)
+                        # instead of mixing old audio at wrong positions.
+                        self._fade_total = min(self._fade_total, local_out)
+                total = self._fade_total
                 n = min(total - self._fade_pos, local_out)
                 y_old = None
                 if self._owns_col0 and self._fade_step is not None:
-                    nb = -(-n // self.config.block_size)  # ceil
+                    from totton_tpu.engine.upsampler import (
+                        _fade_width_blocks,
+                    )
+
+                    # Power-of-two prefix width, zero-padded past the real
+                    # input (cannot change the first n samples) — keeps
+                    # the fade-shape universe to the warmed set.
+                    nb = _fade_width_blocks(n, self.config.block_size)
+                    need = nb * self.config.block_in
+                    x_pref = x[:, :need]
+                    if x_pref.shape[1] < need:
+                        x_pref = np.pad(
+                            x_pref,
+                            [(0, 0), (0, need - x_pref.shape[1])])
                     tail_local = self._local_tail_host(tail_before)
                     y_old, _ = self._fade_step(
-                        jnp.asarray(tail_local),
-                        jnp.asarray(x[:, : nb * self.config.block_in]),
+                        jnp.asarray(tail_local), jnp.asarray(x_pref),
                         self._fade_from)
                 ramp = (self._fade_pos
                         + np.arange(n, dtype=np.float32)) / total
@@ -590,6 +627,7 @@ class ShardedUpsampler:
                 if self._fade_pos >= total:
                     self._fade_from = None
                     self._fade_pos = 0
+                    self._fade_total = None
             if self.device_pcm is not None and fade is None:
                 # Quantize the sharded output on-device (elementwise:
                 # sharding is preserved) so the per-process drain moves

@@ -93,12 +93,19 @@ class StreamSlot:
         self.tail = np.zeros((channels, halo_in), np.float32)
         self.buf = np.zeros((channels, 0), np.float32)
         self.buf_lock = threading.Lock()
-        self.out: queue.Queue = queue.Queue(maxsize=out_queue_blocks)
+        # Hard capacity = soft gate + headroom for steps already in
+        # flight when the gate was passed, so a healthy stream's drain
+        # can never block the shared dispatcher (ready() gates on the
+        # SOFT limit; the hard limit is only reachable by a stalled
+        # client, which gets cut).
+        self.out_soft_limit = out_queue_blocks
+        self.out: queue.Queue = queue.Queue(maxsize=out_queue_blocks * 2)
         self.sock: socket.socket | None = None
         self.fmt: PcmFormat | None = None
         self.eof = False          # client half-closed; flush then finish
         self.flushed = False      # final partial block dispatched
         self.finished = False     # writer told to stop (None sentinel sent)
+        self.detached = True      # connection torn down (dispatcher frees)
         self.pending_steps = 0    # dispatched steps not yet drained
         self.closing = threading.Event()
         self.stats = SlotStats(connected_at=time.monotonic())
@@ -131,7 +138,7 @@ class StreamSlot:
     def ready(self) -> bool:
         if self.sock is None or self.closing.is_set():
             return False
-        if self.out.full():
+        if self.out.qsize() >= self.out_soft_limit:
             return False  # slow client: let TCP backpressure throttle it
         with self.buf_lock:
             if self.buf.shape[1] >= self.block_in:
@@ -178,6 +185,7 @@ class StreamServer:
         eq_response: np.ndarray | None = None,
         stats_path: str | None = None,
         kernel_tuning: KernelTuning | None = None,
+        header_timeout_s: float = 10.0,
     ) -> None:
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
         self.sample_rate = sample_rate
@@ -200,6 +208,7 @@ class StreamServer:
         self._slot_lock = threading.Lock()
         self.stats = ServeStats()
         self._stats_path = stats_path
+        self._header_timeout_s = header_timeout_s
         self._stop = threading.Event()
         self._srv: socket.socket | None = None
         self._threads: list[threading.Thread] = []
@@ -219,8 +228,11 @@ class StreamServer:
             except OSError:
                 return
             try:
-                _tune(sock, self.spec)
+                # Bounded header wait: a connected-but-silent client must
+                # not block the accept loop (trivial DoS otherwise).
+                sock.settimeout(self._header_timeout_s)
                 fmt, ch, rate = unpack_header(_recv_exact(sock, HEADER_BYTES))
+                _tune(sock, self.spec)  # blocking mode for the stream
             except (OSError, ValueError, ConnectionError) as e:
                 log.warning("serve: bad client header: %s", e)
                 sock.close()
@@ -255,16 +267,27 @@ class StreamServer:
         slot.eof = False
         slot.flushed = False
         slot.finished = False
+        slot.detached = False
         slot.pending_steps = 0
         slot.closing.clear()
         slot.stats = SlotStats(connected_at=time.monotonic())
         slot.fmt = fmt
+        # Answer with the output header on the same connection — BEFORE
+        # publishing the socket on the slot: a client that already reset
+        # must not kill the acceptor thread or leak the slot.
+        try:
+            sock.sendall(pack_header(fmt, self.channels,
+                                     self.sample_rate * self.config.ratio))
+        except OSError as e:
+            log.warning("serve: client vanished before reply header: %s", e)
+            sock.close()
+            slot.detached = True
+            with self._slot_lock:
+                self._free.append(slot.index)
+            return
         slot.sock = sock
         with self.stats.lock:
             self.stats.accepted += 1
-        # Answer with the output header on the same connection.
-        sock.sendall(pack_header(fmt, self.channels,
-                                 self.sample_rate * self.config.ratio))
         slot.reader = threading.Thread(
             target=self._reader, args=(slot,), daemon=True,
             name=f"totton-serve-rd{slot.index}")
@@ -324,6 +347,11 @@ class StreamServer:
             self._detach(slot)
 
     def _detach(self, slot: StreamSlot) -> None:
+        """Tear down a stream's connection (writer thread). The SLOT is
+        NOT freed here: steps referencing it may still be in flight; the
+        dispatcher releases it once pending_steps drains to zero
+        (_release_detached_slots) — otherwise a reattached client could
+        receive the previous stream's audio."""
         sock, slot.sock = slot.sock, None
         if sock is not None:
             try:
@@ -341,9 +369,29 @@ class StreamServer:
                 slot.reader.join(timeout=10)
             with self.stats.lock:
                 self.stats.finished += 1
-            with self._slot_lock:
-                self._free.append(slot.index)
-            log.info("serve: slot %d released", slot.index)
+            slot.detached = True
+            self._kick.set()
+
+    def _release_detached_slots(self) -> None:
+        """Free torn-down slots whose in-flight steps have all drained
+        (dispatcher thread only)."""
+        for slot in self.slots:
+            if slot.detached and slot.pending_steps == 0:
+                with self._slot_lock:
+                    if slot.index not in self._free:
+                        self._free.append(slot.index)
+                        log.info("serve: slot %d released", slot.index)
+
+    def _cut(self, slot: StreamSlot, why: str) -> None:
+        """Cut a stalled client loose: closing + socket close unblocks its
+        writer (sendall raises), whose finally runs _detach."""
+        log.warning("serve: cutting slot %d (%s)", slot.index, why)
+        slot.closing.set()
+        if slot.sock is not None:
+            try:
+                slot.sock.close()
+            except OSError:
+                pass
 
     # -- dispatcher --------------------------------------------------------
 
@@ -382,19 +430,19 @@ class StreamServer:
         y_dev, served = inflight.pop(0)
         y = np.asarray(y_dev)
         for slot, r0, valid in served:
-            out = y[r0:r0 + self.channels, : valid * self.config.ratio]
             slot.pending_steps -= 1
+            if slot.sock is None or slot.closing.is_set():
+                continue  # stream gone mid-flight: discard its rows
+            out = y[r0:r0 + self.channels, : valid * self.config.ratio]
             try:
-                slot.out.put(out, timeout=5.0)
+                # Never reached by a healthy stream: ready() gates on the
+                # soft limit and the hard capacity covers in-flight
+                # headroom. A hit means the writer is stalled on a dead
+                # peer — cut it rather than stall every other stream.
+                slot.out.put(out, timeout=2.0)
             except queue.Full:
-                # A client that stopped reading for >5 s of backpressure:
-                # cut it loose (closing the socket unblocks its writer).
-                slot.closing.set()
-                if slot.sock is not None:
-                    try:
-                        slot.sock.close()
-                    except OSError:
-                        pass
+                self._cut(slot, "output queue stalled")
+                continue
             with self.stats.lock:
                 self.stats.frames_out += out.shape[1]
 
@@ -413,7 +461,11 @@ class StreamServer:
                 empty = slot.buf.shape[1] == 0
             if empty or slot.flushed:
                 slot.finished = True
-                slot.out.put(None)  # writer drains queue then detaches
+                try:
+                    slot.out.put_nowait(None)  # writer drains then detaches
+                except queue.Full:
+                    slot.finished = False  # stalled writer: cut, retry
+                    self._cut(slot, "EOF finish blocked by stalled writer")
 
     def _dispatcher(self) -> None:
         import jax.numpy as jnp
@@ -428,6 +480,7 @@ class StreamServer:
                 while inflight:
                     self._drain_one(inflight)
                 self._finish_eof_slots()
+                self._release_detached_slots()
                 now = time.monotonic()
                 if now - last_stats > 0.5:
                     self._write_stats()
@@ -444,6 +497,7 @@ class StreamServer:
             while len(inflight) > depth:
                 self._drain_one(inflight)
             self._finish_eof_slots()
+            self._release_detached_slots()
         while inflight:
             self._drain_one(inflight)
 
@@ -464,7 +518,7 @@ class StreamServer:
     # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> None:
-        self._srv = _listen(self.spec)
+        self._srv = _listen(self.spec, backlog=max(self.max_streams, 16))
         # Warm the batched step shape before accepting: a first-client
         # compile would stall every later join too.
         import jax
