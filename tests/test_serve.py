@@ -37,11 +37,19 @@ def _free_port() -> int:
 
 
 def _client_roundtrip(port: int, x: np.ndarray, fmt=None,
-                      chunk: int = 997, stagger_s: float = 0.0
-                      ) -> np.ndarray:
+                      chunk: int = 997, stagger_s: float = 0.0,
+                      eq_text: str | None = None) -> np.ndarray:
     """Send [2, n] frames, half-close, read the full upsampled reply."""
+    import struct
+
+    from totton_tpu.io.sockets import FLAG_EQ_BLOCK
+
     s = socket.create_connection(("127.0.0.1", port), timeout=30)
-    s.sendall(pack_header(fmt, x.shape[0], RATE))
+    flags = FLAG_EQ_BLOCK if eq_text is not None else 0
+    s.sendall(pack_header(fmt, x.shape[0], RATE, flags=flags))
+    if eq_text is not None:
+        raw_eq = eq_text.encode("utf-8")
+        s.sendall(struct.pack("<I", len(raw_eq)) + raw_eq)
     hdr = b""
     while len(hdr) < HEADER_BYTES:
         got = s.recv(HEADER_BYTES - len(hdr))
@@ -337,5 +345,103 @@ class TestRobustness:
         time.sleep(0.3)
         x = (rng.normal(size=(2, 1500)) * 0.3).astype(np.float32)
         y, _ = _client_roundtrip(port, x)
+        np.testing.assert_allclose(y, upsample_signal(x, lf),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestPerStreamEq:
+    """Per-stream EQ (FLAG_EQ_BLOCK): each client's Equalizer-APO profile
+    is applied to ITS stream only, time-domain at the input rate."""
+
+    def test_preamp_only(self, server, rng):
+        srv, lf, port = server
+        x = (rng.normal(size=(2, 3000)) * 0.3).astype(np.float32)
+        y, _ = _client_roundtrip(port, x, eq_text="Preamp: -12 dB\n")
+        gain = np.float32(10.0 ** (-12 / 20.0))
+        ref = upsample_signal(x * gain, lf)
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-6)
+
+    def test_band_eq_matches_sos_oracle(self, server, rng):
+        from scipy.signal import sosfilt
+
+        from totton_tpu.eq.apo import parse_eq_string
+        from totton_tpu.serve import _profile_to_sos
+
+        srv, lf, port = server
+        eq = ("Preamp: -3 dB\n"
+              "Filter 1: ON PK Fc 1000 Hz Gain 6 dB Q 1.0\n")
+        x = (rng.normal(size=(2, 4000)) * 0.2).astype(np.float32)
+        y, _ = _client_roundtrip(port, x, eq_text=eq)
+        sos, preamp = _profile_to_sos(parse_eq_string(eq), RATE)
+        zi = np.zeros((sos.shape[0], 2, 2))
+        xf, _ = sosfilt(sos, x, axis=1, zi=zi)
+        xf = xf.astype(np.float32) * np.float32(preamp)
+        ref = upsample_signal(xf, lf)
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-6)
+
+    def test_eq_isolated_between_streams(self, server, rng):
+        """One client with EQ, one without, concurrently: each matches
+        its own oracle (the EQ state is per-slot)."""
+        srv, lf, port = server
+        xa = (rng.normal(size=(2, 3500)) * 0.3).astype(np.float32)
+        xb = (rng.normal(size=(2, 2600)) * 0.3).astype(np.float32)
+        results = {}
+        errors = []
+
+        def run(name, x, eq):
+            try:
+                results[name] = _client_roundtrip(
+                    port, x, eq_text=eq, stagger_s=0.002)[0]
+            except Exception as e:
+                errors.append((name, e))
+
+        ta = threading.Thread(target=run,
+                              args=("a", xa, "Preamp: -12 dB\n"))
+        tb = threading.Thread(target=run, args=("b", xb, None))
+        ta.start()
+        tb.start()
+        ta.join(timeout=60)
+        tb.join(timeout=60)
+        assert not errors, errors
+        gain = np.float32(10.0 ** (-12 / 20.0))
+        np.testing.assert_allclose(results["a"], upsample_signal(xa * gain, lf),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(results["b"], upsample_signal(xb, lf),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_oversized_eq_block_rejected(self, server):
+        import struct
+
+        from totton_tpu.io.sockets import FLAG_EQ_BLOCK
+
+        srv, lf, port = server
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(pack_header(None, 2, RATE, flags=FLAG_EQ_BLOCK))
+        s.sendall(struct.pack("<I", 10_000_000))
+        s.settimeout(10)
+        assert s.recv(HEADER_BYTES) == b""  # closed, no reply header
+        s.close()
+
+    def test_undecodable_eq_block_rejected(self, server):
+        srv, lf, port = server
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        import struct
+
+        from totton_tpu.io.sockets import FLAG_EQ_BLOCK
+
+        s.sendall(pack_header(None, 2, RATE, flags=FLAG_EQ_BLOCK))
+        bad = b"\xff\xfe\x00garbage"  # not UTF-8
+        s.sendall(struct.pack("<I", len(bad)) + bad)
+        s.settimeout(10)
+        assert s.recv(HEADER_BYTES) == b""
+        s.close()
+
+    def test_unparseable_lines_tolerated(self, server, rng):
+        """APO parsing is lenient (the reference parser skips lines its
+        regex rejects): junk lines mean no EQ, not a rejection."""
+        srv, lf, port = server
+        x = (rng.normal(size=(2, 1500)) * 0.3).astype(np.float32)
+        y, _ = _client_roundtrip(port, x,
+                                 eq_text="Filter 1: ON PK Fc NOPE Hz\n")
         np.testing.assert_allclose(y, upsample_signal(x, lf),
                                    rtol=1e-5, atol=1e-6)

@@ -83,10 +83,22 @@ CONNECT_TIMEOUT_S = float(os.environ.get("TOTTON_SOCKET_CONNECT_TIMEOUT", 30))
 ACCEPT_TIMEOUT_S = float(os.environ.get("TOTTON_SOCKET_ACCEPT_TIMEOUT", 300))
 
 
-def pack_header(fmt: PcmFormat | None, channels: int, rate: int) -> bytes:
+#: header flag bit: an EQ block (u32 LE length + UTF-8 Equalizer-APO
+#: text) follows the header — per-stream EQ for totton-serve clients.
+FLAG_EQ_BLOCK = 0x01
+
+
+def pack_header(fmt: PcmFormat | None, channels: int, rate: int,
+                flags: int = 0) -> bytes:
     if channels < 1 or channels > 255:
         raise ValueError(f"channels out of range: {channels}")
-    return HEADER.pack(MAGIC, VERSION, _FMT_CODE[fmt], channels, 0, rate)
+    return HEADER.pack(MAGIC, VERSION, _FMT_CODE[fmt], channels, flags, rate)
+
+
+def header_flags(raw: bytes) -> int:
+    """The header's flag byte (unpack_header keeps its 3-tuple shape for
+    the many existing callers)."""
+    return HEADER.unpack(raw)[4]
 
 
 def unpack_header(raw: bytes) -> tuple[PcmFormat | None, int, int]:

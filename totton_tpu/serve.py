@@ -54,11 +54,13 @@ from totton_tpu.io.pcm import (
     pcm_to_float,
 )
 from totton_tpu.io.sockets import (
+    FLAG_EQ_BLOCK,
     HEADER_BYTES,
     SocketSpec,
     _listen,
     _recv_exact,
     _tune,
+    header_flags,
     pack_header,
     unpack_header,
 )
@@ -70,6 +72,35 @@ from totton_tpu.ops.overlap_save import (
 )
 
 log = logging.getLogger("totton.serve")
+
+#: cap on a client's per-stream EQ block (an APO profile is ~100 bytes
+#: per band; this admits hundreds of bands while bounding a hostile
+#: length field)
+MAX_EQ_BLOCK_BYTES = 65536
+
+
+def _profile_to_sos(profile, sample_rate: float):
+    """APO profile -> (scipy sos array or None, linear preamp gain).
+
+    Per-stream EQ is applied TIME-DOMAIN at the INPUT rate (scipy sosfilt
+    with carried per-slot state): every stream gets its own EQ without
+    per-stream filter spectra (which would multiply the absorbed kernel's
+    weight tensors by the slot count). The biquads are the same RBJ
+    designs the spectral bake-in uses; designing them at the input rate
+    instead of the output rate shifts responses only through bilinear
+    warping near the input Nyquist — EQ bands live well below it.
+    """
+    from totton_tpu.eq.biquad import biquad_coeffs
+
+    rows = []
+    for band in profile.bands:
+        c = biquad_coeffs(band, sample_rate)
+        if not c.is_identity:
+            rows.append([c.b0, c.b1, c.b2, 1.0, c.a1, c.a2])
+    preamp = 10.0 ** (profile.preamp_db / 20.0)
+    if not rows:
+        return None, preamp
+    return np.asarray(rows, dtype=np.float64), preamp
 
 
 @dataclasses.dataclass
@@ -102,6 +133,10 @@ class StreamSlot:
         self.out: queue.Queue = queue.Queue(maxsize=out_queue_blocks * 2)
         self.sock: socket.socket | None = None
         self.fmt: PcmFormat | None = None
+        # Per-stream EQ (scipy sos + carried filter state + preamp gain).
+        self.eq_sos: np.ndarray | None = None
+        self.eq_zi: np.ndarray | None = None
+        self.eq_preamp: float = 1.0
         self.eof = False          # client half-closed; flush then finish
         self.flushed = False      # final partial block dispatched
         self.finished = False     # writer told to stop (None sentinel sent)
@@ -231,11 +266,15 @@ class StreamServer:
                 # Bounded header wait: a connected-but-silent client must
                 # not block the accept loop (trivial DoS otherwise).
                 sock.settimeout(self._header_timeout_s)
-                fmt, ch, rate = unpack_header(_recv_exact(sock, HEADER_BYTES))
+                raw = _recv_exact(sock, HEADER_BYTES)
+                fmt, ch, rate = unpack_header(raw)
+                eq = self._read_eq_block(sock, header_flags(raw))
                 _tune(sock, self.spec)  # blocking mode for the stream
             except (OSError, ValueError, ConnectionError) as e:
                 log.warning("serve: bad client header: %s", e)
                 sock.close()
+                with self.stats.lock:
+                    self.stats.rejected += 1
                 continue
             if ch != self.channels or (rate and rate != self.sample_rate):
                 log.warning(
@@ -256,10 +295,29 @@ class StreamServer:
                 sock.close()
                 continue
             slot = self.slots[idx]
-            self._attach(slot, sock, fmt)
+            self._attach(slot, sock, fmt, eq)
+
+    def _read_eq_block(self, sock: socket.socket, flags: int):
+        """Optional per-stream EQ: FLAG_EQ_BLOCK announces a u32 LE
+        length + UTF-8 Equalizer-APO profile right after the header.
+        Returns (sos, preamp) or None. Raises ValueError on a hostile
+        length or an unparseable profile (the stream is rejected —
+        silently ignoring a client's EQ request would be worse)."""
+        if not flags & FLAG_EQ_BLOCK:
+            return None
+        import struct
+
+        (length,) = struct.unpack("<I", _recv_exact(sock, 4))
+        if length > MAX_EQ_BLOCK_BYTES:
+            raise ValueError(f"EQ block too large: {length} bytes")
+        from totton_tpu.eq.apo import parse_eq_string
+
+        text = _recv_exact(sock, length).decode("utf-8")
+        profile = parse_eq_string(text)
+        return _profile_to_sos(profile, float(self.sample_rate))
 
     def _attach(self, slot: StreamSlot, sock: socket.socket,
-                fmt: PcmFormat | None) -> None:
+                fmt: PcmFormat | None, eq=None) -> None:
         slot.tail[:] = 0.0
         slot.buf = np.zeros((self.channels, 0), np.float32)
         while not slot.out.empty():
@@ -272,6 +330,9 @@ class StreamServer:
         slot.closing.clear()
         slot.stats = SlotStats(connected_at=time.monotonic())
         slot.fmt = fmt
+        slot.eq_sos, slot.eq_preamp = eq if eq is not None else (None, 1.0)
+        slot.eq_zi = (np.zeros((slot.eq_sos.shape[0], self.channels, 2))
+                      if slot.eq_sos is not None else None)
         # Answer with the output header on the same connection — BEFORE
         # publishing the socket on the slot: a client that already reset
         # must not kill the acceptor thread or leak the slot.
@@ -319,7 +380,19 @@ class StreamServer:
                     flat = np.frombuffer(raw, "<f4").astype(np.float32)
                 else:
                     flat = pcm_to_float(raw, slot.fmt)
-                slot.push_input(deinterleave(flat, self.channels))
+                frames = deinterleave(flat, self.channels)
+                if slot.eq_sos is not None:
+                    # Per-stream EQ: stateful sosfilt at the input rate
+                    # (reader thread = per-slot, so the carried state
+                    # needs no lock).
+                    from scipy.signal import sosfilt
+
+                    frames, slot.eq_zi = sosfilt(
+                        slot.eq_sos, frames, axis=1, zi=slot.eq_zi)
+                    frames = frames.astype(np.float32)
+                if slot.eq_preamp != 1.0:
+                    frames = frames * np.float32(slot.eq_preamp)
+                slot.push_input(frames)
                 self._kick.set()
         finally:
             slot.eof = True
