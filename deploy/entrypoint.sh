@@ -80,12 +80,24 @@ start_web() {
   PIDS+=("$!")
 }
 
+start_serve() {
+  # Multi-stream serving plane (totton_tpu/serve.py): N client streams
+  # on one batched engine step over a duplex socket each.
+  totton-serve --listen "${TOTTON_SERVE_LISTEN:-tcp-listen://0.0.0.0:9100}" \
+    --rate "$RATE" --ratio "$RATIO" --channels "$CHANNELS" \
+    --phase "$PHASE" --filter-dir "$FILTER_DIR" \
+    --max-streams "${TOTTON_SERVE_MAX_STREAMS:-64}" \
+    --stats-path "${TOTTON_SERVE_STATS_PATH:-/tmp/totton_serve_stats.json}" &
+  PIDS+=("$!")
+}
+
 case "$MODE" in
   all)      start_stream "--control-endpoint $ZMQ_ENDPOINT"; start_web ;;
   dsp)      start_stream "--control-endpoint $ZMQ_ENDPOINT" ;;
   control)  start_control ;;
   stream)   start_stream ;;
   web)      start_web ;;
+  serve)    start_serve ;;
   *) echo "unknown mode: $MODE" >&2; exit 2 ;;
 esac
 
