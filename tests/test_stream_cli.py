@@ -342,3 +342,58 @@ def test_cli_sharded_crossfeed_matches_unsharded(coefficients_dir, tmp_path,
     assert r1 == r2 == 705600
     assert y_sharded.shape == y_plain.shape == (2, 14000)
     np.testing.assert_allclose(y_sharded, y_plain, atol=2e-5)
+
+
+def test_transport_error_exits_nonzero(tmp_path):
+    """A mid-stream RST on a socket input must end totton-stream with a
+    NONZERO exit (round-3 weak #3: transport faults were folded into a
+    clean stop); an orderly FIN stays exit 0."""
+    import socket
+    import struct
+    import threading
+    import time as _time
+
+    from totton_tpu.io.pcm import interleave as _il
+    from totton_tpu.io.sockets import pack_header
+
+    def run_case(rst: bool) -> int:
+        with socket.socket() as probe:
+            probe.bind(("127.0.0.1", 0))
+            port = probe.getsockname()[1]
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "totton_tpu.cli.stream",
+             "--in", f"tcp-listen://127.0.0.1:{port}",
+             "--out", "null"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+        def send():
+            deadline = _time.monotonic() + 240
+            while True:
+                try:
+                    s = socket.create_connection(("127.0.0.1", port),
+                                                 timeout=10)
+                    break
+                except OSError:
+                    if _time.monotonic() > deadline:
+                        raise
+                    _time.sleep(0.2)
+            s.sendall(pack_header(None, 2, 44100))
+            x = np.zeros((2, 4096), np.float32)
+            s.sendall(_il(x).astype("<f4").tobytes())
+            _time.sleep(1.0)
+            if rst:
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                             struct.pack("ii", 1, 0))
+            s.close()
+
+        t = threading.Thread(target=send)
+        t.start()
+        rc = proc.wait(timeout=600)
+        t.join(timeout=30)
+        out = proc.stdout.read()
+        if rst:
+            assert "transport errors: 1" in out, out[-2000:]
+        return rc
+
+    assert run_case(rst=False) == 0
+    assert run_case(rst=True) == 1
