@@ -208,3 +208,37 @@ class TestSessionPipelining:
         stats = session.run()
         assert stats.blocks_processed == 8
         assert stats.frames_out == 8 * block_in * 4
+
+
+class TestChainTwoPhase:
+    def test_crossfeed_chain_pipelined_equals_sync(self, rng, tmp_path):
+        from totton_tpu.engine.chain import CrossfeedChain
+        from totton_tpu.engine.crossfeed import (
+            CrossfeedFilter,
+            CrossfeedProcessor,
+        )
+        from totton_tpu.filters.hrtf import generate_all
+
+        cf_path = generate_all(tmp_path, sizes=["M"], families=["44k"])[0]
+        lf = _filter()
+        block_in = (64 - 16) // 4
+        x = rng.normal(size=(2, 9 * block_in)).astype(np.float32) * 0.3
+
+        def build():
+            return CrossfeedChain(
+                StreamingUpsampler(lf, channels=2),
+                CrossfeedProcessor(CrossfeedFilter.load(str(cf_path))))
+
+        ref_eng = build()
+        ref = [np.array(ref_eng.process_block(
+            x[:, i * block_in:(i + 1) * block_in])) for i in range(9)]
+
+        eng = build()
+        handles = [eng.dispatch_block(x[:, i * block_in:(i + 1) * block_in])
+                   for i in range(3)]
+        got = [eng.fetch(h) for h in handles]
+        handles = [eng.dispatch_block(x[:, i * block_in:(i + 1) * block_in])
+                   for i in range(3, 9)]
+        got += [eng.fetch(h) for h in handles]
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)

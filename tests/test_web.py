@@ -258,3 +258,23 @@ async def test_config_get_patch(client, web_env):
 
     cfg = json.loads((web_env / "config.json").read_text())
     assert cfg["filter"]["phaseType"] == "minimum"
+
+
+async def test_status_includes_serve_stats(client, tmp_path, monkeypatch):
+    """When a totton-serve plane runs on the host (its stats file
+    exists), /api/status surfaces its aggregate under "serve"."""
+    import json
+
+    stats = tmp_path / "serve_stats.json"
+    stats.write_text(json.dumps({
+        "uptime_ms": 1234,
+        "streams": {"active": 3, "accepted": 7, "rejected": 0,
+                    "finished": 4},
+        "steps": 42, "frames_out": 100000, "per_stream": [],
+    }))
+    monkeypatch.setenv("TOTTON_SERVE_STATS_PATH", str(stats))
+    resp = await client.get("/api/status")
+    assert resp.status == 200
+    data = await resp.json()
+    assert data["serve"]["streams"]["active"] == 3
+    assert data["serve"]["steps"] == 42

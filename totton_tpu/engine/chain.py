@@ -52,10 +52,20 @@ class CrossfeedChain:
         self._pending = np.zeros((2, 0), dtype=np.float32)
         self._out_fifo = np.zeros((2, self.latency), dtype=np.float32)
 
-    def process_block(self, x: np.ndarray) -> np.ndarray:
-        """Upsample then crossfeed. Output length always equals
-        x.shape[1] * ratio, delayed by self.latency output samples."""
-        up = self.upsampler.process_block(x)
+    # Two-phase API (same contract as StreamingUpsampler): dispatch
+    # delegates to the upsampler (never host-blocks); the stateful
+    # crossfeed post-stage runs at fetch, in fetch order — which the
+    # session pipeline guarantees equals dispatch order — so pipelined
+    # sessions overlap the upsampler's device compute with the chain's
+    # host-side FIFO work too.
+
+    def dispatch_block(self, x: np.ndarray):
+        return self.upsampler.dispatch_block(x)
+
+    def fetch(self, handle) -> np.ndarray:
+        return self._post(self.upsampler.fetch(handle))
+
+    def _post(self, up: np.ndarray) -> np.ndarray:
         buf = np.concatenate([self._pending, up], axis=1)
         cf_block = self.crossfeed.block_input_frames
         usable = buf.shape[1] - buf.shape[1] % cf_block
@@ -68,3 +78,8 @@ class CrossfeedChain:
         out = self._out_fifo[:, :want]
         self._out_fifo = self._out_fifo[:, want:]
         return out
+
+    def process_block(self, x: np.ndarray) -> np.ndarray:
+        """Upsample then crossfeed. Output length always equals
+        x.shape[1] * ratio, delayed by self.latency output samples."""
+        return self.fetch(self.dispatch_block(x))

@@ -46,9 +46,26 @@ def read_stats_file() -> dict[str, Any]:
     return out
 
 
+def read_serve_stats_file() -> dict[str, Any] | None:
+    """totton-serve aggregate stats, when a serving plane runs on this
+    host (TOTTON_SERVE_STATS_PATH; totton_tpu/serve.py _write_stats)."""
+    import json
+    import os
+
+    path = os.environ.get("TOTTON_SERVE_STATS_PATH",
+                          "/tmp/totton_serve_stats.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    return data if isinstance(data, dict) else None
+
+
 def get_full_status() -> dict[str, Any]:
     """Merged view: daemon ping + ZMQ stats + stream stats file
-    (the reference's /api/status composition, web/routers/status.py)."""
+    (the reference's /api/status composition, web/routers/status.py),
+    plus the serving plane's aggregate when one runs on this host."""
     client = get_client()
     running = client.ping()
     status: dict[str, Any] = {"daemon_running": running}
@@ -57,4 +74,7 @@ def get_full_status() -> dict[str, Any]:
         if stats.ok and isinstance(stats.data, dict):
             status["daemon"] = stats.data
     status["stream"] = read_stats_file()
+    serve = read_serve_stats_file()
+    if serve is not None:
+        status["serve"] = serve
     return status
