@@ -46,9 +46,14 @@ def _loaded_filter(taps: int, ratio: int, fft_size: int):
     )
 
 
-def _measure_chained(step_y, out_samples_per_iter: int, *operands) -> float:
+def _measure_chained(step_y, out_samples_per_iter: int, *operands,
+                     k_chain: int = K_CHAIN) -> float:
     """step_y(scale_scalar, *operands) -> output array. Returns samples/s
-    over K_CHAIN chained evaluations (best of 3).
+    over k_chain chained evaluations (best of 3). Configs with small
+    per-iteration work pass a longer chain so the fused call's fixed
+    host round-trip (tens of ms on the tunneled chip) amortizes the same
+    way it does for the deep-batch configs — otherwise a 2 ms live step
+    reads 40% slow purely from RTT.
 
     Operands enter the jit as ARGUMENTS, not closure constants: closed-over
     arrays get baked into the serialized executable, and on the tunneled
@@ -63,7 +68,7 @@ def _measure_chained(step_y, out_samples_per_iter: int, *operands) -> float:
             y = step_y(1.0 + 1e-6 * acc, *ops)
             return acc + jnp.sum(jnp.abs(y)), None
 
-        return jax.lax.scan(body, a0, None, length=K_CHAIN)[0]
+        return jax.lax.scan(body, a0, None, length=k_chain)[0]
 
     fused = jax.jit(chain)
     v = float(fused(jnp.float32(0), *operands))
@@ -73,7 +78,7 @@ def _measure_chained(step_y, out_samples_per_iter: int, *operands) -> float:
         t0 = time.monotonic()
         float(fused(jnp.float32(1e-6 * trial), *operands))
         best = min(best, time.monotonic() - t0)
-    return out_samples_per_iter * K_CHAIN / best
+    return out_samples_per_iter * k_chain / best
 
 
 def _geom(quick: bool, q_taps: int = 8001, q_fft: int = 16384):
@@ -222,9 +227,12 @@ def bench_streaming_reload(quick: bool) -> dict:
         (rng.normal(size=(2, per_step)) * 0.3).astype(np.float32),
         NamedSharding(mesh, P("channel", "time")))
     tail, step = ups._tail, ups._step
+    # 60x less work per iteration than the batch configs: chain longer
+    # so the fixed per-call round-trip amortizes equally (see
+    # _measure_chained).
     sps = _measure_chained(
         lambda s, t, xa, sp: step(t, xa * s, sp)[0],
-        2 * per_step * 16, tail, x, ups._spectrum)
+        2 * per_step * 16, tail, x, ups._spectrum, k_chain=60)
 
     # Live RELOAD: swap the EQ and run one consumed step through the same
     # jitted callable (traced operand -> no recompile).

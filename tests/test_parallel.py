@@ -407,3 +407,29 @@ class TestScheduledSwap:
                                   upsample_factor=4))
         with pytest.raises(ValueError, match="geometry"):
             sharded.schedule_swap(filt=other)
+
+
+def test_single_device_mesh_exactly_equals_plain_engine(small_filter, rng):
+    """A 1x1 mesh resolves to the PLAIN step program (the shard_map
+    wrapper costs ~24% of a live-granule step for zero semantic effect
+    — PERF.md round 4); the sharded engine must stay bit-identical to
+    StreamingUpsampler there, including streaming state and fades."""
+    import jax
+
+    lf = small_filter
+    mesh = make_mesh(n_channel=1, n_time=1, devices=jax.devices()[:1])
+    fade = 128
+    sharded = ShardedUpsampler(lf, mesh, channels=2, swap_fade_frames=fade)
+    plain = StreamingUpsampler(lf, channels=2, swap_fade_frames=fade)
+    step_in = sharded.block_input_frames
+    xs = [(rng.normal(size=(2, step_in)) * 0.3).astype(np.float32)
+          for _ in range(3)]
+    np.testing.assert_array_equal(sharded.process_block(xs[0]),
+                                  plain.process_block(xs[0]))
+    eq = np.full(sharded.config.n_bins, 0.5, np.float64)
+    sharded.set_eq(eq)
+    plain.set_eq(eq)
+    for x in xs[1:]:
+        np.testing.assert_allclose(sharded.process_block(x),
+                                   plain.process_block(x),
+                                   rtol=1e-6, atol=1e-7)

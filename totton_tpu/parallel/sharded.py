@@ -79,6 +79,16 @@ def _local_step(tail, x_local, spectrum, cfg: OverlapSaveConfig,
 @functools.lru_cache(maxsize=32)
 def _make_sharded_step(cfg: OverlapSaveConfig, mesh: Mesh,
                        tuning: KernelTuning):
+    if mesh.devices.size == 1:
+        # Single-device mesh: the shard_map body degenerates to
+        # halo=tail + concat + the plain kernel (n_time=1 has no
+        # ppermute and t_idx==0 always selects the tail), but the
+        # shard_map WRAPPER itself costs a fixed ~0.4 ms per step on the
+        # real chip — 24% of a 32-block live step (PERF.md round 4
+        # probe: 2.17 vs 1.76 ms/step same-session). Emit the identical
+        # math without the wrapper; make_block_step's program already
+        # has exactly this body.
+        return make_block_step(cfg, tuning)
     body = functools.partial(_local_step, cfg=cfg, tuning=tuning)
     sharded = jax.shard_map(
         body,

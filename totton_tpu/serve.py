@@ -365,8 +365,11 @@ class StreamServer:
         pending = b""
         try:
             while not self._stop.is_set() and not slot.closing.is_set():
+                sock = slot.sock  # _detach (writer thread) may null it
+                if sock is None:
+                    break
                 try:
-                    chunk = slot.sock.recv(65536)
+                    chunk = sock.recv(65536)
                 except OSError:
                     chunk = b""
                 if not chunk:
