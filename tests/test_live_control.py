@@ -22,7 +22,7 @@ def phase_filter_dir(tmp_path_factory):
     return out
 
 
-def _wait_ping(client, proc, deadline_s=60):
+def _wait_ping(client, proc, deadline_s=180):
     deadline = time.monotonic() + deadline_s
     while time.monotonic() < deadline:
         if client.ping():

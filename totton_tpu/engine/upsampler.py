@@ -37,6 +37,32 @@ def _fade_width_blocks(n: int, block_size: int) -> int:
     return 1 << max(nb - 1, 0).bit_length()
 
 
+def fade_warm_widths(fade_frames: int, block_size: int) -> list[int]:
+    """Every dispatch width (in blocks) a fade of this length can use —
+    the set sessions/engines must warm so a live crossfade never
+    compiles mid-stream."""
+    widths = []
+    nb = _fade_width_blocks(fade_frames, block_size)
+    while nb >= 1:
+        widths.append(nb)
+        nb //= 2
+    return widths
+
+
+def _fade_prefix(xj, n: int, block_size: int, block_in: int):
+    """Power-of-two prefix of a dispatch's input covering a fade window
+    of n output samples, zero-padded past the real input when the
+    rounded width exceeds it (overlap-save block j depends only on input
+    up to (j+1)*block_in, so the pad cannot change the first n
+    samples)."""
+    nb = _fade_width_blocks(n, block_size)
+    need = nb * block_in
+    pref = jnp.asarray(xj)[:, :need]
+    if pref.shape[1] < need:
+        pref = jnp.pad(pref, ((0, 0), (0, need - pref.shape[1])))
+    return pref
+
+
 class StreamingUpsampler:
     """Stateful block-streaming upsampler for a fixed channel count.
 
@@ -270,16 +296,13 @@ class StreamingUpsampler:
                 k_blocks = x.shape[1] // self.config.block_in
                 n = min(total - self._fade_pos,
                         k_blocks * self.config.block_size)
-                # Power-of-two dispatch width (zero-padded past the real
-                # input if needed) keeps the fade-shape universe
-                # logarithmic — see _fade_width_blocks.
-                nb = _fade_width_blocks(n, self.config.block_size)
-                need = nb * self.config.block_in
-                x_pref = xj[:, :need]
-                if x_pref.shape[1] < need:
-                    x_pref = jnp.pad(
-                        x_pref, ((0, 0), (0, need - x_pref.shape[1])))
-                y_old, _ = self._step(tail_before, x_pref, self._fade_from)
+                # Power-of-two dispatch width keeps the fade-shape
+                # universe logarithmic — see _fade_prefix.
+                y_old, _ = self._step(
+                    tail_before,
+                    _fade_prefix(xj, n, self.config.block_size,
+                                 self.config.block_in),
+                    self._fade_from)
                 ramp = (self._fade_pos
                         + np.arange(n, dtype=np.float32)) / total
                 fade = (y_old, ramp, n)

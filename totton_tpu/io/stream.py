@@ -239,19 +239,19 @@ def _warm_up(engine: StreamingUpsampler, channels: int, block_in: int,
     """
     shapes = {1, max_batch_blocks}
     # Sharded engines warm their (separate, local) fade program at
-    # construction; only the plain engine's fade shares this step.
-    fade = (0 if hasattr(engine, "mesh")
-            else getattr(engine, "_swap_fade_frames", 0))
+    # construction; only the plain engine's fade shares this step. A
+    # CrossfeedChain delegates dispatch to its INNER upsampler — probe
+    # that one for the fade config (cli/stream.py does the same for
+    # control callbacks).
+    inner = getattr(engine, "upsampler", engine)
+    fade = (0 if hasattr(inner, "mesh")
+            else getattr(inner, "_swap_fade_frames", 0))
     if fade:
-        # Fade dispatches use power-of-two prefix widths
-        # (engine._fade_width_blocks), so the extra warm set is
-        # logarithmic in the fade length.
-        from totton_tpu.engine.upsampler import _fade_width_blocks
+        # Fade dispatches use power-of-two prefix widths, so the extra
+        # warm set is logarithmic in the fade length.
+        from totton_tpu.engine.upsampler import fade_warm_widths
 
-        nb = _fade_width_blocks(fade, engine.config.block_size)
-        while nb >= 1:
-            shapes.add(nb)
-            nb //= 2
+        shapes.update(fade_warm_widths(fade, inner.config.block_size))
     for nblocks in sorted(shapes):
         engine.process_block(
             np.zeros((channels, nblocks * block_in), np.float32))
@@ -717,11 +717,15 @@ class ThreadedStreamSession:
                 elif self._stop.is_set():
                     break
                 else:
-                    # Input-starved: drain in-flight steps instead of
-                    # retaining completed audio (the device would idle
-                    # either way; this keeps live output latency at one
-                    # dispatch rather than PIPELINE_DEPTH of them).
-                    self._pipeline.flush()
+                    if self._low_latency:
+                        # Input-starved live session: drain in-flight
+                        # steps instead of retaining completed audio (the
+                        # device is source-paced anyway; output latency
+                        # stays at one dispatch, not PIPELINE_DEPTH).
+                        # Offline sessions keep the pipeline primed — a
+                        # momentary feeder lag must not serialize the
+                        # next deep batch behind a full drain.
+                        self._pipeline.flush()
                     time.sleep(0.001)
         finally:
             # Drain in-flight pipelined steps BEFORE signaling the drainer

@@ -269,24 +269,21 @@ class ShardedUpsampler:
         # mid-stream.
         self._fade_step = None
         if swap_fade_frames > 0 and self._owns_col0:
-            from totton_tpu.engine.upsampler import _fade_width_blocks
+            from totton_tpu.engine.upsampler import fade_warm_widths
 
             self._fade_step = make_block_step(self.config,
                                               self.kernel_tuning)
             zt = jnp.zeros((self.local_channels, self.config.halo_in),
                            jnp.float32)
             # Warm every power-of-two prefix width the fade window can
-            # dispatch (_fade_width_blocks quantization — logarithmic
-            # set) so a live fade never compiles mid-stream.
-            nb = _fade_width_blocks(swap_fade_frames,
-                                    self.config.block_size)
-            while nb >= 1:
+            # dispatch so a live fade never compiles mid-stream.
+            for nb in fade_warm_widths(swap_fade_frames,
+                                       self.config.block_size):
                 z = jnp.zeros(
                     (self.local_channels, nb * self.config.block_in),
                     jnp.float32)
                 jax.block_until_ready(
                     self._fade_step(zt, z, self._spectrum)[0])
-                nb //= 2
 
     @classmethod
     def local_channel_count(cls, mesh: Mesh, channels: int) -> int:
@@ -612,23 +609,15 @@ class ShardedUpsampler:
                 n = min(total - self._fade_pos, local_out)
                 y_old = None
                 if self._owns_col0 and self._fade_step is not None:
-                    from totton_tpu.engine.upsampler import (
-                        _fade_width_blocks,
-                    )
+                    from totton_tpu.engine.upsampler import _fade_prefix
 
-                    # Power-of-two prefix width, zero-padded past the real
-                    # input (cannot change the first n samples) — keeps
-                    # the fade-shape universe to the warmed set.
-                    nb = _fade_width_blocks(n, self.config.block_size)
-                    need = nb * self.config.block_in
-                    x_pref = x[:, :need]
-                    if x_pref.shape[1] < need:
-                        x_pref = np.pad(
-                            x_pref,
-                            [(0, 0), (0, need - x_pref.shape[1])])
+                    # Power-of-two prefix width keeps the fade-shape
+                    # universe to the warmed set — see _fade_prefix.
                     tail_local = self._local_tail_host(tail_before)
                     y_old, _ = self._fade_step(
-                        jnp.asarray(tail_local), jnp.asarray(x_pref),
+                        jnp.asarray(tail_local),
+                        _fade_prefix(x, n, self.config.block_size,
+                                     self.config.block_in),
                         self._fade_from)
                 ramp = (self._fade_pos
                         + np.arange(n, dtype=np.float32)) / total

@@ -141,6 +141,7 @@ class StreamSlot:
         self.flushed = False      # final partial block dispatched
         self.finished = False     # writer told to stop (None sentinel sent)
         self.detached = True      # connection torn down (dispatcher frees)
+        self.generation = 0       # bumped per attachment (stale-thread guard)
         self.pending_steps = 0    # dispatched steps not yet drained
         self.closing = threading.Event()
         self.stats = SlotStats(connected_at=time.monotonic())
@@ -287,6 +288,10 @@ class StreamServer:
                 continue
             with self._slot_lock:
                 idx = self._free.pop() if self._free else None
+                if idx is not None:
+                    # Claim inside the lock: _release_detached_slots must
+                    # not re-free an index between pop and attach.
+                    self.slots[idx].detached = False
             if idx is None:
                 log.warning("serve: all %d slots busy, rejecting",
                             self.max_streams)
@@ -300,9 +305,12 @@ class StreamServer:
     def _read_eq_block(self, sock: socket.socket, flags: int):
         """Optional per-stream EQ: FLAG_EQ_BLOCK announces a u32 LE
         length + UTF-8 Equalizer-APO profile right after the header.
-        Returns (sos, preamp) or None. Raises ValueError on a hostile
-        length or an unparseable profile (the stream is rejected —
-        silently ignoring a client's EQ request would be worse)."""
+        Returns (sos, preamp) or None. Raises (rejecting the stream) on
+        a hostile length or a non-UTF-8 block; PARSING is lenient like
+        the reference's APO parser — lines its grammar rejects are
+        skipped, so a junk-only profile degrades to identity EQ rather
+        than a rejection (tests/test_serve.py
+        test_unparseable_lines_tolerated codifies this)."""
         if not flags & FLAG_EQ_BLOCK:
             return None
         import struct
@@ -325,7 +333,8 @@ class StreamServer:
         slot.eof = False
         slot.flushed = False
         slot.finished = False
-        slot.detached = False
+        # detached was already cleared under the acceptor's claim lock.
+        slot.generation += 1
         slot.pending_steps = 0
         slot.closing.clear()
         slot.stats = SlotStats(connected_at=time.monotonic())
@@ -349,25 +358,28 @@ class StreamServer:
         slot.sock = sock
         with self.stats.lock:
             self.stats.accepted += 1
+        # Threads get THEIR socket and generation explicitly: a stale
+        # reader that outlived its join timeout (blocked in recv on a
+        # vanished peer) can then never read from, or EOF, the slot's
+        # NEXT stream.
         slot.reader = threading.Thread(
-            target=self._reader, args=(slot,), daemon=True,
-            name=f"totton-serve-rd{slot.index}")
+            target=self._reader, args=(slot, sock, slot.generation),
+            daemon=True, name=f"totton-serve-rd{slot.index}")
         slot.writer = threading.Thread(
-            target=self._writer, args=(slot,), daemon=True,
+            target=self._writer, args=(slot, sock), daemon=True,
             name=f"totton-serve-wr{slot.index}")
         slot.reader.start()
         slot.writer.start()
         log.info("serve: stream attached to slot %d", slot.index)
 
-    def _reader(self, slot: StreamSlot) -> None:
+    def _reader(self, slot: StreamSlot, sock: socket.socket,
+                gen: int) -> None:
         frame_bytes = self.channels * (4 if slot.fmt is None
                                        else slot.fmt.bytes)
         pending = b""
         try:
-            while not self._stop.is_set() and not slot.closing.is_set():
-                sock = slot.sock  # _detach (writer thread) may null it
-                if sock is None:
-                    break
+            while (not self._stop.is_set() and not slot.closing.is_set()
+                   and slot.generation == gen):
                 try:
                     chunk = sock.recv(65536)
                 except OSError:
@@ -395,13 +407,16 @@ class StreamServer:
                     frames = frames.astype(np.float32)
                 if slot.eq_preamp != 1.0:
                     frames = frames * np.float32(slot.eq_preamp)
+                if slot.generation != gen:
+                    break
                 slot.push_input(frames)
                 self._kick.set()
         finally:
-            slot.eof = True
-            self._kick.set()
+            if slot.generation == gen:
+                slot.eof = True
+                self._kick.set()
 
-    def _writer(self, slot: StreamSlot) -> None:
+    def _writer(self, slot: StreamSlot, sock: socket.socket) -> None:
         try:
             while True:
                 item = slot.out.get()
@@ -413,7 +428,7 @@ class StreamServer:
                 else:
                     raw = float_to_pcm(flat, slot.fmt)
                 try:
-                    slot.sock.sendall(raw)  # TCP backpressure per stream
+                    sock.sendall(raw)  # TCP backpressure per stream
                 except OSError:
                     slot.closing.set()
                     break
@@ -454,7 +469,10 @@ class StreamServer:
         for slot in self.slots:
             if slot.detached and slot.pending_steps == 0:
                 with self._slot_lock:
-                    if slot.index not in self._free:
+                    # Re-check under the lock: the acceptor clears
+                    # detached inside its pop critical section, so a
+                    # just-claimed slot can never be re-freed here.
+                    if slot.detached and slot.index not in self._free:
                         self._free.append(slot.index)
                         log.info("serve: slot %d released", slot.index)
 
@@ -463,9 +481,10 @@ class StreamServer:
         writer (sendall raises), whose finally runs _detach."""
         log.warning("serve: cutting slot %d (%s)", slot.index, why)
         slot.closing.set()
-        if slot.sock is not None:
+        sock = slot.sock  # _detach (writer thread) may null it concurrently
+        if sock is not None:
             try:
-                slot.sock.close()
+                sock.close()
             except OSError:
                 pass
 
@@ -627,9 +646,10 @@ class StreamServer:
                     pass
         for slot in self.slots:
             slot.closing.set()
-            if slot.sock is not None:
+            sock = slot.sock  # writers' _detach may null it concurrently
+            if sock is not None:
                 try:
-                    slot.sock.close()
+                    sock.close()
                 except OSError:
                     pass
             try:
