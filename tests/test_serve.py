@@ -445,3 +445,57 @@ class TestPerStreamEq:
                                  eq_text="Filter 1: ON PK Fc NOPE Hz\n")
         np.testing.assert_allclose(y, upsample_signal(x, lf),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_8_concurrent_16x_streams_production_filter(rng):
+    """The round-4 Done criterion verbatim: 8 concurrent socket streams
+    through the BUNDLED production 16x/80k-tap filter, each passing the
+    validate_output gates against its own upsampled reference."""
+    import pathlib
+
+    from totton_tpu.filters.sidecar import load_filter
+    from totton_tpu.testing.validate_output import validate_audio
+
+    coeff = pathlib.Path(__file__).parent.parent / "data" / "coefficients"
+    lf = load_filter(str(coeff / "filter_44k_16x_80000_min_phase.json"))
+    port = _free_port()
+    srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                       max_streams=8, channels=2)
+    srv.start()
+    try:
+        n = 6000  # ~0.14 s per stream; 8 streams exercise every slot
+        sigs = []
+        for i in range(8):
+            t = np.arange(n) / RATE
+            f0 = 300.0 + 150.0 * i
+            sigs.append(np.stack([
+                0.4 * np.sin(2 * np.pi * f0 * t),
+                0.3 * np.sin(2 * np.pi * f0 * 1.5 * t),
+            ]).astype(np.float32))
+        results: dict[int, np.ndarray] = {}
+        errors: list = []
+
+        def run(i):
+            try:
+                results[i] = _client_roundtrip(port, sigs[i])[0]
+            except Exception as e:
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        assert len(results) == 8
+        for i, y in results.items():
+            ref = upsample_signal(sigs[i], lf)
+            assert y.shape == ref.shape
+            # validate_output gates: input signal as reference, output
+            # decimated by the ratio (the reference e2e methodology).
+            report = validate_audio(sigs[i], y, 16)
+            assert report["passed"], (i, report)
+        assert srv.stats.accepted == 8
+    finally:
+        srv.stop()
