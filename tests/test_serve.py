@@ -499,3 +499,80 @@ def test_8_concurrent_16x_streams_production_filter(rng):
         assert srv.stats.accepted == 8
     finally:
         srv.stop()
+
+
+class TestAdaptiveBatching:
+    def test_bursty_client_batches_blocks(self, rng):
+        """A client that pushes its whole signal at once (file-upsample
+        use) gets multi-block steps: far fewer dispatches than blocks,
+        identical output."""
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=4, channels=2,
+                           max_blocks_per_step=8)
+        srv.start()
+        try:
+            block_in = srv.config.block_in
+            n_blocks = 64
+            x = (rng.normal(size=(2, n_blocks * block_in)) * 0.3
+                 ).astype(np.float32)
+            # chunk = whole signal: the reader buffers a deep backlog.
+            y, _ = _client_roundtrip(port, x, chunk=x.shape[1])
+            np.testing.assert_allclose(y, upsample_signal(x, lf),
+                                       rtol=1e-5, atol=1e-6)
+            assert srv.stats.steps < n_blocks, (
+                f"no batching: {srv.stats.steps} steps for {n_blocks} "
+                "blocks")
+        finally:
+            srv.stop()
+
+    def test_mixed_depth_slots_stay_isolated(self, rng):
+        """One bursty + one trickling client concurrently: the bursty
+        slot rides deep steps while the other contributes zero-padded
+        rows — outputs stay exactly independent."""
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=4, channels=2,
+                           max_blocks_per_step=8)
+        srv.start()
+        try:
+            block_in = srv.config.block_in
+            xa = (rng.normal(size=(2, 48 * block_in)) * 0.3
+                  ).astype(np.float32)
+            xb = (rng.normal(size=(2, 5 * block_in + 17)) * 0.3
+                  ).astype(np.float32)
+            results = {}
+            errors = []
+
+            def run(name, x, **kw):
+                try:
+                    results[name] = _client_roundtrip(port, x, **kw)[0]
+                except Exception as e:
+                    errors.append((name, e))
+
+            ta = threading.Thread(
+                target=run, args=("burst", xa),
+                kwargs={"chunk": xa.shape[1]})
+            tb = threading.Thread(
+                target=run, args=("trickle", xb),
+                kwargs={"chunk": 256, "stagger_s": 0.01})
+            ta.start()
+            tb.start()
+            ta.join(timeout=120)
+            tb.join(timeout=120)
+            assert not errors, errors
+            np.testing.assert_allclose(results["burst"],
+                                       upsample_signal(xa, lf),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(results["trickle"],
+                                       upsample_signal(xb, lf),
+                                       rtol=1e-5, atol=1e-6)
+        finally:
+            srv.stop()
+
+    def test_non_pow2_cap_rejected(self):
+        with pytest.raises(ValueError, match="power of two"):
+            StreamServer(_filter(), "tcp-listen://127.0.0.1:1", RATE,
+                         max_blocks_per_step=12)

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="channels per stream")
     p.add_argument("--max-streams", type=int, default=64,
                    help="concurrent stream slots (static batch rows)")
+    p.add_argument("--max-blocks-per-step", type=int, default=16,
+                   help="adaptive per-step block depth cap (power of two; "
+                        "bursty clients batch up to this many filter "
+                        "blocks per dispatch)")
     p.add_argument("--eq-profile",
                    help="Equalizer-APO profile baked into the served "
                         "spectrum (shared by all streams)")
@@ -77,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
         server = StreamServer(
             loaded, args.listen, args.rate, max_streams=args.max_streams,
             channels=args.channels, eq_response=eq,
-            stats_path=args.stats_path)
+            stats_path=args.stats_path,
+            max_blocks_per_step=args.max_blocks_per_step)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

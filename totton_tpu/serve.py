@@ -153,23 +153,36 @@ class StreamSlot:
             self.buf = np.concatenate([self.buf, frames], axis=1)
         self.stats.frames_in += frames.shape[1]
 
-    def take_block(self) -> tuple[np.ndarray, int] | None:
-        """A full block if available — or the zero-padded final partial
-        after EOF. Returns (block [C, block_in], valid_frames) or None."""
+    def blocks_available(self) -> int:
+        """Whole blocks ready (EOF counts a pending partial as one)."""
+        with self.buf_lock:
+            n = self.buf.shape[1] // self.block_in
+            if n == 0 and self.eof and not self.flushed \
+                    and self.buf.shape[1] > 0:
+                return 1
+            return n
+
+    def take_blocks(self, k: int) -> tuple[np.ndarray, int] | None:
+        """Up to k whole blocks (the final EOF partial zero-padded),
+        returned as [C, k*block_in] with the unused tail zero-padded.
+        Returns (frames, valid_frames) or None when nothing is ready."""
         with self.buf_lock:
             n = self.buf.shape[1]
-            if n >= self.block_in:
-                block = self.buf[:, :self.block_in]
-                self.buf = self.buf[:, self.block_in:]
-                return np.ascontiguousarray(block), self.block_in
-            if self.eof and not self.flushed:
+            take = min(n - n % self.block_in, k * self.block_in)
+            if take < n and self.eof and not self.flushed \
+                    and take + self.block_in <= k * self.block_in:
+                # EOF: fold the trailing partial into this dispatch.
                 self.flushed = True
-                if n == 0:
-                    return None
-                block = np.pad(self.buf, [(0, 0), (0, self.block_in - n)])
-                self.buf = self.buf[:, :0]
-                return block, n
-        return None
+                take = min(n, k * self.block_in)
+            if take == 0:
+                return None
+            frames = self.buf[:, :take]
+            self.buf = self.buf[:, take:]
+        valid = take
+        pad = k * self.block_in - take
+        if pad:
+            frames = np.pad(frames, [(0, 0), (0, pad)])
+        return np.ascontiguousarray(frames), valid
 
     def ready(self) -> bool:
         if self.sock is None or self.closing.is_set():
@@ -222,6 +235,7 @@ class StreamServer:
         stats_path: str | None = None,
         kernel_tuning: KernelTuning | None = None,
         header_timeout_s: float = 10.0,
+        max_blocks_per_step: int = 16,
     ) -> None:
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
         self.sample_rate = sample_rate
@@ -244,6 +258,12 @@ class StreamServer:
         self._slot_lock = threading.Lock()
         self.stats = ServeStats()
         self._stats_path = stats_path
+        if max_blocks_per_step < 1 or (
+                max_blocks_per_step & (max_blocks_per_step - 1)):
+            raise ValueError("max_blocks_per_step must be a power of two, "
+                             f"got {max_blocks_per_step}")
+        #: cap on the adaptive per-step block depth (see _gather)
+        self.max_blocks_per_step = max_blocks_per_step
         self._header_timeout_s = header_timeout_s
         self._stop = threading.Event()
         self._srv: socket.socket | None = None
@@ -491,33 +511,44 @@ class StreamServer:
     # -- dispatcher --------------------------------------------------------
 
     def _gather(self) -> tuple[np.ndarray, np.ndarray, list[tuple]] | None:
-        """Build one batched step from every ready slot. Returns
-        (x [rows, block_in], tails [rows, halo], served) where served is
-        [(slot, row0, valid_frames)], or None when nothing is ready."""
+        """Build one batched step from every ready slot.
+
+        The per-step block count k adapts to the deepest ready backlog
+        (power-of-two, capped at max_blocks_per_step): a bursty client —
+        a file upsample pushed through the serving plane — gets up to
+        k blocks per step instead of one, while interactive clients cost
+        only zero-padded row tails (their outputs beyond valid_frames
+        are discarded and their tails advance by REAL frames only). The
+        shape universe stays the warmed {1, 2, 4, ..., cap} set.
+
+        Returns (x [rows, k*block_in], tails [rows, halo], served) with
+        served = [(slot, row0, valid_frames)], or None when idle."""
+        ready = [(slot, slot.blocks_available())
+                 for slot in self.slots if slot.ready()]
+        ready = [(s, a) for s, a in ready if a > 0]
+        if not ready:
+            return None
+        deepest = max(a for _, a in ready)
+        k = min(1 << max(deepest - 1, 0).bit_length(),
+                self.max_blocks_per_step)
         served = []
-        x = None
-        tails = None
-        for slot in self.slots:
-            if not slot.ready():
-                continue
-            taken = slot.take_block()
+        x = np.zeros((self._rows, k * self.config.block_in), np.float32)
+        tails = np.zeros((self._rows, self.config.halo_in), np.float32)
+        for slot, _a in ready:
+            taken = slot.take_blocks(k)
             if taken is None:
                 continue
-            block, valid = taken
-            if x is None:
-                x = np.zeros((self._rows, self.config.block_in), np.float32)
-                tails = np.zeros((self._rows, self.config.halo_in),
-                                 np.float32)
+            frames, valid = taken
             r0 = slot.index * self.channels
-            x[r0:r0 + self.channels] = block
+            x[r0:r0 + self.channels] = frames
             tails[r0:r0 + self.channels] = slot.tail
-            # Host-side tail update: the last halo_in input samples of
-            # (tail | block). Idle slots keep their tails untouched.
-            joined = np.concatenate([slot.tail, block], axis=1)
+            # Host-side tail update from the REAL consumed frames only
+            # (the zero pad never enters the stream history).
+            joined = np.concatenate([slot.tail, frames[:, :valid]], axis=1)
             slot.tail = joined[:, -self.config.halo_in:]
             slot.pending_steps += 1
             served.append((slot, r0, valid))
-        if x is None:
+        if not served:
             return None
         return x, tails, served
 
@@ -614,14 +645,20 @@ class StreamServer:
 
     def start(self) -> None:
         self._srv = _listen(self.spec, backlog=max(self.max_streams, 16))
-        # Warm the batched step shape before accepting: a first-client
-        # compile would stall every later join too.
+        # Warm every step shape the adaptive dispatcher can use
+        # ({1, 2, ..., max_blocks_per_step} blocks — logarithmic set)
+        # before accepting: a first-client compile would stall every
+        # later join too.
         import jax
         import jax.numpy as jnp
 
-        z = jnp.zeros((self._rows, self.config.block_in), jnp.float32)
         zt = jnp.zeros((self._rows, self.config.halo_in), jnp.float32)
-        jax.block_until_ready(self._step(zt, z, self._spectrum)[0])
+        k = 1
+        while k <= self.max_blocks_per_step:
+            z = jnp.zeros((self._rows, k * self.config.block_in),
+                          jnp.float32)
+            jax.block_until_ready(self._step(zt, z, self._spectrum)[0])
+            k *= 2
         for target, name in ((self._acceptor, "totton-serve-accept"),
                              (self._dispatcher, "totton-serve-dispatch")):
             t = threading.Thread(target=target, daemon=True, name=name)
