@@ -576,3 +576,22 @@ class TestAdaptiveBatching:
         with pytest.raises(ValueError, match="power of two"):
             StreamServer(_filter(), "tcp-listen://127.0.0.1:1", RATE,
                          max_blocks_per_step=12)
+
+
+def test_input_rate_eq_design_matches_output_rate_in_band():
+    """Design claim behind per-stream EQ (serve._profile_to_sos): RBJ
+    biquads designed at the 44.1k INPUT rate match the reference-style
+    OUTPUT-rate (705.6k) design across the audio band — bilinear warping
+    only separates them near the input Nyquist, far above any EQ band."""
+    from totton_tpu.eq.apo import parse_eq_string
+    from totton_tpu.eq.biquad import profile_response
+
+    profile = parse_eq_string(
+        "Filter 1: ON PK Fc 1000 Hz Gain 6 dB Q 1.0\n"
+        "Filter 2: ON LS Fc 105 Hz Gain 4 dB Q 0.7\n"
+        "Filter 3: ON HS Fc 8000 Hz Gain -2 dB Q 0.7\n")
+    freqs = np.linspace(20.0, 16000.0, 400)
+    h_in = profile_response(profile, freqs, 44100.0)
+    h_out = profile_response(profile, freqs, 705600.0)
+    dev_db = np.abs(20 * np.log10(np.abs(h_in) / np.abs(h_out)))
+    assert dev_db.max() < 0.5, dev_db.max()
