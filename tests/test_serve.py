@@ -595,3 +595,53 @@ def test_input_rate_eq_design_matches_output_rate_in_band():
     h_out = profile_response(profile, freqs, 705600.0)
     dev_db = np.abs(20 * np.log10(np.abs(h_in) / np.abs(h_out)))
     assert dev_db.max() < 0.5, dev_db.max()
+
+
+def test_drain_finishes_active_stream_and_stops_accepting(rng):
+    """Graceful shutdown: drain() closes the listener but an in-flight
+    stream still receives its complete output."""
+    lf = _filter()
+    port = _free_port()
+    srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                       max_streams=2, channels=2)
+    srv.start()
+    try:
+        x = (rng.normal(size=(2, 6000)) * 0.3).astype(np.float32)
+        result = {}
+
+        def client():
+            # Slow trickle so drain() lands mid-stream.
+            result["y"] = _client_roundtrip(port, x, chunk=500,
+                                            stagger_s=0.02)[0]
+
+        t = threading.Thread(target=client)
+        t.start()
+        time.sleep(0.15)  # client attached, mid-stream
+        drain = {}
+
+        def run_drain():
+            drain["ok"] = srv.drain(timeout_s=60)
+
+        dt = threading.Thread(target=run_drain)
+        dt.start()
+        # New connections must be refused once draining settles (the
+        # acceptor may hold the listener fd for up to its 0.5 s accept
+        # timeout before releasing it).
+        deadline = time.monotonic() + 5
+        refused = False
+        while time.monotonic() < deadline and not refused:
+            try:
+                probe = socket.create_connection(("127.0.0.1", port),
+                                                 timeout=1)
+                probe.close()
+                time.sleep(0.1)
+            except OSError:
+                refused = True
+        assert refused, "listener still accepting after drain()"
+        t.join(timeout=60)
+        dt.join(timeout=60)
+        assert drain.get("ok") is True
+        np.testing.assert_allclose(result["y"], upsample_signal(x, lf),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        srv.stop()

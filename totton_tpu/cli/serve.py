@@ -95,8 +95,17 @@ def main(argv: list[str] | None = None) -> int:
             import os
 
             os._exit(1)
-        server._stop.set()
-        server._kick.set()
+        # Graceful: stop accepting, let active streams finish (bounded),
+        # then stop. Second signal hard-exits.
+        import threading
+
+        def _drain():
+            server.drain(timeout_s=30.0)
+            server._stop.set()
+            server._kick.set()
+
+        threading.Thread(target=_drain, daemon=True,
+                         name="totton-serve-drain").start()
 
     signal.signal(signal.SIGINT, handle_signal)
     signal.signal(signal.SIGTERM, handle_signal)

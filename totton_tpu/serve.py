@@ -276,9 +276,12 @@ class StreamServer:
     def _acceptor(self) -> None:
         assert self._srv is not None
         while not self._stop.is_set():
+            srv = self._srv  # drain() nulls it to stop accepting
+            if srv is None:
+                return
             try:
-                self._srv.settimeout(0.5)
-                sock, _addr = self._srv.accept()
+                srv.settimeout(0.5)
+                sock, _addr = srv.accept()
             except socket.timeout:
                 continue
             except OSError:
@@ -667,6 +670,32 @@ class StreamServer:
         log.info("serve: listening on %s (%d slots, %d Hz -> %d Hz)",
                  self.spec.raw, self.max_streams, self.sample_rate,
                  self.sample_rate * self.config.ratio)
+
+    def drain(self, timeout_s: float | None = None) -> bool:
+        """Graceful shutdown, phase 1: stop ACCEPTING but let active
+        streams finish (clients that half-closed get their full output;
+        long-lived clients keep streaming until they disconnect or the
+        timeout). Returns True when every slot drained in time. Call
+        stop() afterwards either way."""
+        if self._srv is not None:
+            try:
+                self._srv.close()  # acceptor thread exits on OSError
+            except OSError:
+                pass
+            if self.spec.family == socket.AF_UNIX:
+                try:
+                    os.unlink(self.spec.path)
+                except FileNotFoundError:
+                    pass
+            self._srv = None
+        deadline = (None if timeout_s is None
+                    else time.monotonic() + timeout_s)
+        while any(s.sock is not None or not s.detached or s.pending_steps
+                  for s in self.slots):
+            if deadline is not None and time.monotonic() > deadline:
+                return False
+            time.sleep(0.05)
+        return True
 
     def stop(self) -> None:
         self._stop.set()
