@@ -205,6 +205,7 @@ class ServeStats:
         self.finished = 0
         self.steps = 0
         self.frames_out = 0
+        self.drain_wall_s = 0.0   # summed device-wait time in _drain_one
         self.start = time.monotonic()
 
     def to_json(self, active: int, per_stream: list[dict]) -> dict:
@@ -216,6 +217,9 @@ class ServeStats:
                             "finished": self.finished},
                 "steps": self.steps,
                 "frames_out": self.frames_out,
+                "avg_step_drain_ms": round(
+                    self.drain_wall_s / self.steps * 1e3, 3)
+                    if self.steps else None,
                 "per_stream": per_stream,
             }
 
@@ -557,7 +561,10 @@ class StreamServer:
 
     def _drain_one(self, inflight: list) -> None:
         y_dev, served = inflight.pop(0)
+        t0 = time.monotonic()
         y = np.asarray(y_dev)
+        with self.stats.lock:
+            self.stats.drain_wall_s += time.monotonic() - t0
         for slot, r0, valid in served:
             slot.pending_steps -= 1
             if slot.sock is None or slot.closing.is_set():
