@@ -33,8 +33,9 @@ def _fade_width_blocks(n: int, block_size: int) -> int:
     block j depends only on input up to (j+1)*block_in, so zero-padding
     the input prefix to the rounded width cannot change the first n
     samples."""
-    nb = -(-n // block_size)
-    return 1 << max(nb - 1, 0).bit_length()
+    from totton_tpu.utils.intmath import pow2_ceil
+
+    return pow2_ceil(-(-n // block_size))
 
 
 def fade_warm_widths(fade_frames: int, block_size: int) -> list[int]:

@@ -279,7 +279,9 @@ def _quantize_nblocks(ready: int, max_batch_blocks: int,
         return max_batch_blocks if ready >= max_batch_blocks else 1
     if ready >= max_batch_blocks:
         return max_batch_blocks
-    return 1 << (ready.bit_length() - 1)
+    from totton_tpu.utils.intmath import pow2_floor
+
+    return pow2_floor(ready)
 
 
 #: In-flight device steps per session when the engine supports two-phase

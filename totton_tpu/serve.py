@@ -20,9 +20,19 @@ independent client streams onto ONE batched engine dispatch:
   same step M=128 — serving load *improves* per-stream efficiency
   (PERF.md round-4 row-starvation sweep).
 - **Per-stream backpressure.** A slot is dispatch-ready only when its
-  input ring holds a whole block AND its writer queue has room, so a
-  slow client throttles itself via TCP flow control and never stalls the
-  other streams (no head-of-line blocking).
+  input ring holds a whole block AND its output backlog is under the
+  block-granular soft limit, so a slow client throttles itself via TCP
+  flow control and never BLOCKS the other streams. Adaptive batching
+  (below) does add bounded step-width coupling: while one client bursts,
+  every step is up to max_blocks_per_step wide, so an interactive
+  stream's block waits one wider step (~15 ms at the production 16x
+  geometry) — small against the >= 72 ms a 44.1 kHz client inherently
+  spends accumulating each 3192-frame block.
+- **Adaptive step depth.** The per-step block count follows the deepest
+  ready backlog (power-of-two, floor-quantized, capped): bursty
+  file-upsample clients batch up to 16 blocks per dispatch while
+  trickling clients' rows are zero-padded (outputs trimmed at their
+  valid frames, tails advanced by real frames only).
 
 Wire protocol: one duplex TCP/unix connection per stream. The client
 sends the 12-byte totton header (io/sockets.py) + interleaved PCM at the
@@ -117,10 +127,12 @@ class StreamSlot:
     """One client stream: connection + rings + host-side tail."""
 
     def __init__(self, index: int, channels: int, halo_in: int,
-                 block_in: int, out_queue_blocks: int = 8) -> None:
+                 block_in: int, block_out: int,
+                 out_queue_blocks: int = 8) -> None:
         self.index = index
         self.channels = channels
         self.block_in = block_in
+        self.block_out = block_out
         self.tail = np.zeros((channels, halo_in), np.float32)
         self.buf = np.zeros((channels, 0), np.float32)
         self.buf_lock = threading.Lock()
@@ -131,6 +143,11 @@ class StreamSlot:
         # client, which gets cut).
         self.out_soft_limit = out_queue_blocks
         self.out: queue.Queue = queue.Queue(maxsize=out_queue_blocks * 2)
+        # Output buffering accounted in BLOCKS, not queue items: adaptive
+        # batching makes one item worth up to max_blocks_per_step blocks,
+        # so the backpressure gate counts what actually buffers.
+        self.out_blocks = 0
+        self.out_lock = threading.Lock()
         self.sock: socket.socket | None = None
         self.fmt: PcmFormat | None = None
         # Per-stream EQ (scipy sos + carried filter state + preamp gain).
@@ -187,7 +204,9 @@ class StreamSlot:
     def ready(self) -> bool:
         if self.sock is None or self.closing.is_set():
             return False
-        if self.out.qsize() >= self.out_soft_limit:
+        with self.out_lock:
+            backlog = self.out_blocks
+        if backlog >= self.out_soft_limit:
             return False  # slow client: let TCP backpressure throttle it
         with self.buf_lock:
             if self.buf.shape[1] >= self.block_in:
@@ -255,7 +274,8 @@ class StreamServer:
         self._step = make_block_step(self.config, self._tuning)
         self._rows = max_streams * channels
         self.slots = [
-            StreamSlot(i, channels, self.config.halo_in, self.config.block_in)
+            StreamSlot(i, channels, self.config.halo_in,
+                       self.config.block_in, self.config.block_size)
             for i in range(max_streams)
         ]
         self._free = list(range(max_streams))
@@ -278,7 +298,6 @@ class StreamServer:
     # -- connection handling ----------------------------------------------
 
     def _acceptor(self) -> None:
-        assert self._srv is not None
         while not self._stop.is_set():
             srv = self._srv  # drain() nulls it to stop accepting
             if srv is None:
@@ -357,6 +376,8 @@ class StreamServer:
         slot.buf = np.zeros((self.channels, 0), np.float32)
         while not slot.out.empty():
             slot.out.get_nowait()
+        with slot.out_lock:
+            slot.out_blocks = 0
         slot.eof = False
         slot.flushed = False
         slot.finished = False
@@ -459,6 +480,10 @@ class StreamServer:
                 except OSError:
                     slot.closing.set()
                     break
+                with slot.out_lock:
+                    slot.out_blocks = max(
+                        0, slot.out_blocks
+                        - -(-item.shape[1] // slot.block_out))
                 slot.stats.frames_out += item.shape[1]
                 self._kick.set()
         finally:
@@ -521,11 +546,12 @@ class StreamServer:
         """Build one batched step from every ready slot.
 
         The per-step block count k adapts to the deepest ready backlog
-        (power-of-two, capped at max_blocks_per_step): a bursty client —
-        a file upsample pushed through the serving plane — gets up to
-        k blocks per step instead of one, while interactive clients cost
-        only zero-padded row tails (their outputs beyond valid_frames
-        are discarded and their tails advance by REAL frames only). The
+        (power-of-two floor, capped at max_blocks_per_step): a bursty
+        client — a file upsample pushed through the serving plane — gets
+        up to k blocks per step instead of one, while other clients cost
+        zero-padded row tails (their outputs beyond valid_frames are
+        discarded and their tails advance by REAL frames only; they do
+        share the wider step's bounded latency — module docstring). The
         shape universe stays the warmed {1, 2, 4, ..., cap} set.
 
         Returns (x [rows, k*block_in], tails [rows, halo], served) with
@@ -536,8 +562,12 @@ class StreamServer:
         if not ready:
             return None
         deepest = max(a for _, a in ready)
-        k = min(1 << max(deepest - 1, 0).bit_length(),
-                self.max_blocks_per_step)
+        # Round DOWN (stream.py _quantize_nblocks convention): a backlog
+        # of 9 dispatches 8 then 1 from the same warmed shape set instead
+        # of a 16-wide step that is 44% zero-pad filler.
+        from totton_tpu.utils.intmath import pow2_floor
+
+        k = min(pow2_floor(deepest), self.max_blocks_per_step)
         served = []
         x = np.zeros((self._rows, k * self.config.block_in), np.float32)
         tails = np.zeros((self._rows, self.config.halo_in), np.float32)
@@ -569,16 +599,22 @@ class StreamServer:
             slot.pending_steps -= 1
             if slot.sock is None or slot.closing.is_set():
                 continue  # stream gone mid-flight: discard its rows
-            out = y[r0:r0 + self.channels, : valid * self.config.ratio]
+            # COPY the slot's rows: a view would pin the whole batched
+            # step array (up to [rows, k*block_size]) in every slow
+            # client's queue.
+            out = np.ascontiguousarray(
+                y[r0:r0 + self.channels, : valid * self.config.ratio])
             try:
                 # Never reached by a healthy stream: ready() gates on the
-                # soft limit and the hard capacity covers in-flight
+                # soft block limit and the hard capacity covers in-flight
                 # headroom. A hit means the writer is stalled on a dead
                 # peer — cut it rather than stall every other stream.
                 slot.out.put(out, timeout=2.0)
             except queue.Full:
                 self._cut(slot, "output queue stalled")
                 continue
+            with slot.out_lock:
+                slot.out_blocks += -(-valid // self.config.block_in)
             with self.stats.lock:
                 self.stats.frames_out += out.shape[1]
 
