@@ -399,9 +399,15 @@ class StreamServer:
         except OSError as e:
             log.warning("serve: client vanished before reply header: %s", e)
             sock.close()
-            slot.detached = True
+            # Detach + free ATOMICALLY under the slot lock (with the same
+            # not-in-free guard _release_detached_slots uses): setting
+            # detached before an unguarded append would let the dispatcher
+            # ALSO append the index in the window between the two, and a
+            # duplicate free-list entry hands one slot to two clients.
             with self._slot_lock:
-                self._free.append(slot.index)
+                if slot.index not in self._free:
+                    self._free.append(slot.index)
+                slot.detached = True
             return
         slot.sock = sock
         with self.stats.lock:
@@ -591,12 +597,23 @@ class StreamServer:
 
     def _drain_one(self, inflight: list) -> None:
         y_dev, served = inflight.pop(0)
+        # Decrement pending_steps for EVERY served slot up front: if the
+        # device fetch below raises (runtime fault), no slot is left with
+        # a phantom in-flight step that would block its release forever.
+        for slot, _r0, _valid in served:
+            slot.pending_steps -= 1
         t0 = time.monotonic()
-        y = np.asarray(y_dev)
+        try:
+            y = np.asarray(y_dev)
+        except Exception:
+            # Device fetch failed: these streams' audio now has a hole —
+            # cut them (clients reconnect) instead of sending a gap.
+            for slot, _r0, _valid in served:
+                self._cut(slot, "device step fetch failed")
+            raise
         with self.stats.lock:
             self.stats.drain_wall_s += time.monotonic() - t0
         for slot, r0, valid in served:
-            slot.pending_steps -= 1
             if slot.sock is None or slot.closing.is_set():
                 continue  # stream gone mid-flight: discard its rows
             # COPY the slot's rows: a view would pin the whole batched
@@ -604,6 +621,13 @@ class StreamServer:
             # client's queue.
             out = np.ascontiguousarray(
                 y[r0:r0 + self.channels, : valid * self.config.ratio])
+            # Account the blocks BEFORE put() (rolled back on Full): if
+            # the writer dequeued+decremented before a post-put increment,
+            # the clamped decrement would leave a phantom block that never
+            # drains and eventually gates ready() forever.
+            nblocks = -(-valid // self.config.block_in)
+            with slot.out_lock:
+                slot.out_blocks += nblocks
             try:
                 # Never reached by a healthy stream: ready() gates on the
                 # soft block limit and the hard capacity covers in-flight
@@ -611,10 +635,10 @@ class StreamServer:
                 # peer — cut it rather than stall every other stream.
                 slot.out.put(out, timeout=2.0)
             except queue.Full:
+                with slot.out_lock:
+                    slot.out_blocks -= nblocks
                 self._cut(slot, "output queue stalled")
                 continue
-            with slot.out_lock:
-                slot.out_blocks += -(-valid // self.config.block_in)
             with self.stats.lock:
                 self.stats.frames_out += out.shape[1]
 
@@ -645,33 +669,68 @@ class StreamServer:
         depth = 2
         inflight: list[tuple] = []
         last_stats = 0.0
+        failures = 0
 
         while not self._stop.is_set():
-            batch = self._gather()
-            if batch is None:
-                while inflight:
+            # Guard the whole iteration: an unexpected error (e.g. a jax
+            # runtime fault in _step) must not silently kill the dispatcher
+            # while the acceptor keeps admitting clients that then hang
+            # forever. Transients are logged and retried; persistent
+            # failure stops the server VISIBLY (wait() unblocks, the CLI
+            # exits nonzero).
+            try:
+                batch = self._gather()
+                if batch is None:
+                    while inflight:
+                        self._drain_one(inflight)
+                    self._finish_eof_slots()
+                    self._release_detached_slots()
+                    now = time.monotonic()
+                    if now - last_stats > 0.5:
+                        self._write_stats()
+                        last_stats = now
+                    if self._kick.wait(timeout=0.05):
+                        self._kick.clear()
+                    failures = 0
+                    continue
+                x, tails, served = batch
+                y_dev, _ = self._step(jnp.asarray(tails), jnp.asarray(x),
+                                      self._spectrum)
+                inflight.append((y_dev, served))
+                with self.stats.lock:
+                    self.stats.steps += 1
+                while len(inflight) > depth:
                     self._drain_one(inflight)
                 self._finish_eof_slots()
                 self._release_detached_slots()
+                # Stats refresh on the BUSY path too (same 0.5 s throttle):
+                # under sustained load the idle branch never runs, which is
+                # exactly when the operator surface needs fresh numbers.
                 now = time.monotonic()
                 if now - last_stats > 0.5:
                     self._write_stats()
                     last_stats = now
-                if self._kick.wait(timeout=0.05):
-                    self._kick.clear()
-                continue
-            x, tails, served = batch
-            y_dev, _ = self._step(jnp.asarray(tails), jnp.asarray(x),
-                                  self._spectrum)
-            inflight.append((y_dev, served))
-            with self.stats.lock:
-                self.stats.steps += 1
-            while len(inflight) > depth:
-                self._drain_one(inflight)
-            self._finish_eof_slots()
-            self._release_detached_slots()
+                failures = 0
+            except Exception:
+                log.exception("serve: dispatcher iteration failed")
+                failures += 1
+                # Steps still in flight are unsalvageable here; release
+                # their slots' in-flight accounting and cut those streams
+                # (their audio has a hole anyway) so the slots recycle.
+                for _y_dev, served in inflight:
+                    for slot, *_rest in served:
+                        slot.pending_steps -= 1
+                        self._cut(slot, "dispatcher failure")
+                inflight.clear()
+                if failures >= 3:
+                    log.error("serve: dispatcher failing persistently; "
+                              "stopping server")
+                    self._stop.set()
         while inflight:
-            self._drain_one(inflight)
+            try:
+                self._drain_one(inflight)
+            except Exception:
+                log.exception("serve: final drain failed")
 
     def _write_stats(self) -> None:
         if not self._stats_path:
