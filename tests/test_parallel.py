@@ -377,6 +377,44 @@ class TestScheduledSwap:
         np.testing.assert_allclose(y, ref.process_block(x), rtol=1e-5,
                                    atol=1e-7)
 
+    def test_deadline_miss_bounded_divergence_across_processes(
+            self, small_filter, rng):
+        """A follower whose control fan-out arrives one step late applies
+        the swap at its NEXT boundary: exactly one step diverges from the
+        leader, the miss is counted, and — because the carried tail is
+        input-domain, spectrum-independent — the very next step
+        re-converges sample-exactly. No deadlock anywhere (the whole
+        sequence completes synchronously)."""
+        lf = small_filter
+        mesh = make_mesh(n_channel=1, n_time=2)
+        leader = ShardedUpsampler(lf, mesh, channels=2)
+        follower = ShardedUpsampler(lf, mesh, channels=2)
+        step_in = leader.block_input_frames
+        xs = [rng.normal(size=(2, step_in)).astype(np.float32) * 0.3
+              for _ in range(5)]
+        eq = np.full(leader.config.n_bins, 0.5, np.float64)
+
+        # Leader: schedules before its step-3 dispatch; lands on time.
+        leader_out = [leader.process_block(x) for x in xs[:3]]
+        leader.schedule_swap(eq_response=eq, apply_at_step=3)
+        leader_out += [leader.process_block(x) for x in xs[3:]]
+        assert leader.swap_deadline_misses == 0
+
+        # Follower: the published event arrives AFTER its step-3 dispatch
+        # (deliberate control-plane delay), so apply_at_step=3 is already
+        # in the past when it schedules.
+        follower_out = [follower.process_block(x) for x in xs[:4]]
+        follower.schedule_swap(eq_response=eq, apply_at_step=3)
+        follower_out += [follower.process_block(x) for x in xs[4:]]
+        assert follower.swap_deadline_misses == 1
+
+        # Steps 0-2 identical; step 3 is the bounded divergence window
+        # (leader swapped, follower not yet); step 4 re-converges exactly.
+        for i in (0, 1, 2):
+            np.testing.assert_array_equal(leader_out[i], follower_out[i])
+        assert not np.allclose(leader_out[3], follower_out[3])
+        np.testing.assert_array_equal(leader_out[4], follower_out[4])
+
     def test_newer_schedule_replaces_pending(self, small_filter, rng):
         lf = small_filter
         mesh = make_mesh(n_channel=1, n_time=2)
