@@ -578,6 +578,84 @@ class TestAdaptiveBatching:
                          max_blocks_per_step=12)
 
 
+class TestAdaptiveWidth:
+    """Adaptive row width: steps dispatch the smallest warmed
+    power-of-two SLOT width covering the ready set (served slots
+    compacted into leading rows), so light load never pays the full
+    static batch."""
+
+    def test_width_set(self):
+        srv = StreamServer(_filter(), "tcp-listen://127.0.0.1:0", RATE,
+                           max_streams=64)
+        assert srv._slot_widths == [8, 16, 32, 64]
+        srv4 = StreamServer(_filter(), "tcp-listen://127.0.0.1:0", RATE,
+                            max_streams=4)
+        assert srv4._slot_widths == [4]
+        srv12 = StreamServer(_filter(), "tcp-listen://127.0.0.1:0", RATE,
+                             max_streams=12)
+        assert srv12._slot_widths == [8, 16]
+
+    def test_light_load_dispatches_narrow_steps(self, rng):
+        """One client on a 16-slot server: every step runs at the 8-slot
+        width, never the full 16 — and the output is still exact."""
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=16, channels=2,
+                           max_blocks_per_step=2)
+        srv.start()
+        try:
+            x = (rng.normal(size=(2, 4000)) * 0.3).astype(np.float32)
+            y, _ = _client_roundtrip(port, x)
+            np.testing.assert_allclose(y, upsample_signal(x, lf),
+                                       rtol=1e-5, atol=1e-6)
+            with srv.stats.lock:
+                shapes = dict(srv.stats.steps_by_shape)
+            assert shapes, "no steps recorded"
+            assert all(key.startswith("8x") for key in shapes), shapes
+        finally:
+            srv.stop()
+
+    def test_isolation_across_width_transitions(self, rng):
+        """12 staggered concurrent clients on 16 slots cross the 8/16
+        width boundary repeatedly; every stream's output still equals its
+        own single-stream oracle."""
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=16, channels=2)
+        srv.start()
+        try:
+            signals = [(rng.normal(size=(2, 2500 + 311 * i)) * 0.3)
+                       .astype(np.float32) for i in range(12)]
+            results: dict[int, np.ndarray] = {}
+            errors: list = []
+
+            def run(i: int) -> None:
+                try:
+                    time.sleep(0.015 * i)
+                    results[i] = _client_roundtrip(
+                        port, signals[i], chunk=701,
+                        stagger_s=0.002)[0]
+                except Exception as e:  # pragma: no cover
+                    errors.append((i, e))
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(12)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert not errors, errors
+            assert len(results) == 12
+            for i, y in results.items():
+                np.testing.assert_allclose(
+                    y, upsample_signal(signals[i], lf),
+                    rtol=1e-5, atol=1e-6, err_msg=f"stream {i}")
+        finally:
+            srv.stop()
+
+
 def test_input_rate_eq_design_matches_output_rate_in_band():
     """Design claim behind per-stream EQ (serve._profile_to_sos): RBJ
     biquads designed at the 44.1k INPUT rate match the reference-style

@@ -225,6 +225,9 @@ class ServeStats:
         self.steps = 0
         self.frames_out = 0
         self.drain_wall_s = 0.0   # summed device-wait time in _drain_one
+        #: dispatch count per "slots x blocks" shape (adaptive width/depth
+        #: observability: shows what the chip actually ran)
+        self.steps_by_shape: dict[str, int] = {}
         self.start = time.monotonic()
 
     def to_json(self, active: int, per_stream: list[dict]) -> dict:
@@ -235,6 +238,7 @@ class ServeStats:
                             "rejected": self.rejected,
                             "finished": self.finished},
                 "steps": self.steps,
+                "steps_by_shape": dict(self.steps_by_shape),
                 "frames_out": self.frames_out,
                 "avg_step_drain_ms": round(
                     self.drain_wall_s / self.steps * 1e3, 3)
@@ -273,6 +277,20 @@ class StreamServer:
                                          eq_response)
         self._step = make_block_step(self.config, self._tuning)
         self._rows = max_streams * channels
+        # Adaptive row width: each step dispatches the smallest warmed
+        # power-of-two slot width covering the READY slots (served slots
+        # are compacted into leading rows), so a lightly-loaded server
+        # pays the 8-slot step cost (~1.4 ms at the production geometry)
+        # instead of the 64-slot cost (~1.9 ms) — the same floor on the
+        # measured row-starvation curve that makes heavy load cheap.
+        # Width floor 8: below it the step is latency-bound, not
+        # row-bound, so narrower shapes buy nothing (PERF.md round 4).
+        from totton_tpu.utils.intmath import pow2_ceil
+
+        top = pow2_ceil(max_streams)
+        self._slot_widths = sorted(
+            {w for w in (8, 16, 32, 64, 128, 256, 512, 1024)
+             if w < top and w >= min(8, top)} | {top})
         self.slots = [
             StreamSlot(i, channels, self.config.halo_in,
                        self.config.block_in, self.config.block_size)
@@ -560,6 +578,11 @@ class StreamServer:
         share the wider step's bounded latency — module docstring). The
         shape universe stays the warmed {1, 2, 4, ..., cap} set.
 
+        Served slots are COMPACTED into the leading rows and the row
+        width adapts to the ready count (smallest warmed power-of-two
+        slot width >= ready slots): one active stream on a 64-slot server
+        dispatches an 8-slot step, not a 64-slot one.
+
         Returns (x [rows, k*block_in], tails [rows, halo], served) with
         served = [(slot, row0, valid_frames)], or None when idle."""
         ready = [(slot, slot.blocks_available())
@@ -574,15 +597,17 @@ class StreamServer:
         from totton_tpu.utils.intmath import pow2_floor
 
         k = min(pow2_floor(deepest), self.max_blocks_per_step)
+        width = next(w for w in self._slot_widths if w >= len(ready))
+        rows = width * self.channels
         served = []
-        x = np.zeros((self._rows, k * self.config.block_in), np.float32)
-        tails = np.zeros((self._rows, self.config.halo_in), np.float32)
+        x = np.zeros((rows, k * self.config.block_in), np.float32)
+        tails = np.zeros((rows, self.config.halo_in), np.float32)
         for slot, _a in ready:
             taken = slot.take_blocks(k)
             if taken is None:
                 continue
             frames, valid = taken
-            r0 = slot.index * self.channels
+            r0 = len(served) * self.channels
             x[r0:r0 + self.channels] = frames
             tails[r0:r0 + self.channels] = slot.tail
             # Host-side tail update from the REAL consumed frames only
@@ -697,8 +722,12 @@ class StreamServer:
                 y_dev, _ = self._step(jnp.asarray(tails), jnp.asarray(x),
                                       self._spectrum)
                 inflight.append((y_dev, served))
+                shape_key = (f"{x.shape[0] // self.channels}x"
+                             f"{x.shape[1] // self.config.block_in}")
                 with self.stats.lock:
                     self.stats.steps += 1
+                    self.stats.steps_by_shape[shape_key] = (
+                        self.stats.steps_by_shape.get(shape_key, 0) + 1)
                 while len(inflight) > depth:
                     self._drain_one(inflight)
                 self._finish_eof_slots()
@@ -757,13 +786,15 @@ class StreamServer:
         import jax
         import jax.numpy as jnp
 
-        zt = jnp.zeros((self._rows, self.config.halo_in), jnp.float32)
-        k = 1
-        while k <= self.max_blocks_per_step:
-            z = jnp.zeros((self._rows, k * self.config.block_in),
-                          jnp.float32)
-            jax.block_until_ready(self._step(zt, z, self._spectrum)[0])
-            k *= 2
+        for width in self._slot_widths:
+            rows = width * self.channels
+            zt = jnp.zeros((rows, self.config.halo_in), jnp.float32)
+            k = 1
+            while k <= self.max_blocks_per_step:
+                z = jnp.zeros((rows, k * self.config.block_in),
+                              jnp.float32)
+                jax.block_until_ready(self._step(zt, z, self._spectrum)[0])
+                k *= 2
         for target, name in ((self._acceptor, "totton-serve-accept"),
                              (self._dispatcher, "totton-serve-dispatch")):
             t = threading.Thread(target=target, daemon=True, name=name)
