@@ -656,6 +656,102 @@ class TestAdaptiveWidth:
             srv.stop()
 
 
+class TestInputBound:
+    def test_flooding_nonreading_client_is_bounded_and_isolated(self, rng):
+        """A hostile client that sends fast and never reads its output
+        must NOT grow server memory without bound: the output backlog
+        gates dispatch, the input backlog cap stops the reader, and TCP
+        flow control throttles the sender. A concurrent healthy stream
+        is unaffected."""
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=4, channels=2,
+                           max_input_backlog_blocks=32)
+        srv.start()
+        flood = None
+        try:
+            # Flood client: pushes PCM forever, never reads.
+            flood = socket.create_connection(("127.0.0.1", port),
+                                             timeout=30)
+            flood.sendall(pack_header(None, 2, RATE))
+            hdr = b""
+            while len(hdr) < HEADER_BYTES:
+                hdr += flood.recv(HEADER_BYTES - len(hdr))
+            flood.settimeout(0.2)
+            noise = (rng.normal(size=(2, 8192)) * 0.3).astype(np.float32)
+            raw = interleave(noise).astype("<f4").tobytes()
+            sent = 0
+            deadline = time.monotonic() + 10
+            blocked = False
+            while time.monotonic() < deadline:
+                try:
+                    flood.sendall(raw)
+                    sent += len(raw)
+                except socket.timeout:
+                    blocked = True  # TCP flow control engaged
+                    break
+            assert blocked, f"sender never throttled after {sent} bytes"
+
+            # Find the flood slot and assert its backlog is bounded.
+            slot = next(s for s in srv.slots if s.sock is not None)
+            chunk_frames = 65536 // 8  # one recv can land past the check
+            with slot.buf_lock:
+                backlog = slot.buf.shape[1]
+            assert backlog <= slot.max_input_samples + chunk_frames + 1, (
+                backlog, slot.max_input_samples)
+            assert slot.stats.input_throttles >= 1
+            # frames_in has stopped advancing (reader parked, not
+            # spinning through the flood).
+            f0 = slot.stats.frames_in
+            time.sleep(0.6)
+            assert slot.stats.frames_in == f0
+
+            # A healthy concurrent stream flows normally throughout.
+            x = (rng.normal(size=(2, 3000)) * 0.3).astype(np.float32)
+            y, _ = _client_roundtrip(port, x)
+            np.testing.assert_allclose(y, upsample_signal(x, lf),
+                                       rtol=1e-5, atol=1e-6)
+            status = srv._slot_status(slot)
+            assert status["input_backlog_blocks"] >= 1
+            assert status["input_throttles"] >= 1
+        finally:
+            if flood is not None:
+                flood.close()
+            srv.stop()
+
+    def test_cap_below_step_depth_rejected(self):
+        with pytest.raises(ValueError, match="max_input_backlog_blocks"):
+            StreamServer(_filter(), "tcp-listen://127.0.0.1:1", RATE,
+                         max_blocks_per_step=16,
+                         max_input_backlog_blocks=8)
+
+
+def test_per_stream_latency_percentiles(rng):
+    """The stats surface carries an input-ready -> output-queued latency
+    distribution per stream (p50/p95/max)."""
+    lf = _filter()
+    port = _free_port()
+    srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                       max_streams=4, channels=2)
+    srv.start()
+    try:
+        x = (rng.normal(size=(2, 20 * srv.config.block_in)) * 0.3
+             ).astype(np.float32)
+        y, _ = _client_roundtrip(port, x)
+        np.testing.assert_allclose(y, upsample_signal(x, lf),
+                                   rtol=1e-5, atol=1e-6)
+        slot = srv.slots[
+            max(range(len(srv.slots)), key=lambda i: len(srv.slots[i].lat_ms))]
+        assert len(slot.lat_ms) >= 10
+        status = srv._slot_status(slot)
+        lat = status["latency_ms"]
+        assert 0 <= lat["p50"] <= lat["p95"] <= lat["max"]
+        assert lat["max"] < 60_000  # sane wall-clock magnitude
+    finally:
+        srv.stop()
+
+
 def test_input_rate_eq_design_matches_output_rate_in_band():
     """Design claim behind per-stream EQ (serve._profile_to_sos): RBJ
     biquads designed at the 44.1k INPUT rate match the reference-style

@@ -118,6 +118,9 @@ class SlotStats:
     frames_in: int = 0
     frames_out: int = 0
     connected_at: float = 0.0
+    #: episodes where the reader stopped recv'ing because the input
+    #: backlog hit its cap (TCP flow control then throttles the sender)
+    input_throttles: int = 0
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)
@@ -128,7 +131,8 @@ class StreamSlot:
 
     def __init__(self, index: int, channels: int, halo_in: int,
                  block_in: int, block_out: int,
-                 out_queue_blocks: int = 8) -> None:
+                 out_queue_blocks: int = 8,
+                 max_input_blocks: int = 32) -> None:
         self.index = index
         self.channels = channels
         self.block_in = block_in
@@ -136,6 +140,22 @@ class StreamSlot:
         self.tail = np.zeros((channels, halo_in), np.float32)
         self.buf = np.zeros((channels, 0), np.float32)
         self.buf_lock = threading.Lock()
+        # Input-side bound (the output side was always block-capped): the
+        # reader stops recv'ing once this many whole blocks are buffered,
+        # so a client that floods input while never reading output is
+        # throttled by TCP flow control instead of ballooning host memory
+        # until the process OOMs under every other stream (the reference
+        # analog is its fixed-capacity SPSC ring,
+        # include/io/audio_ring_buffer.h:22-30).
+        self.max_input_samples = max_input_blocks * block_in
+        #: set whenever the dispatcher consumes input (wakes a throttled
+        #: reader); cleared by the reader before it re-checks fullness
+        self.space = threading.Event()
+        #: monotonic timestamps, one per COMPLETED input block, consumed
+        #: FIFO by take_blocks -> latency = output-queued minus these
+        self.block_ts: list[float] = []
+        #: per-stream latency reservoir (ms), input-ready -> output-queued
+        self.lat_ms: "list[float]" = []
         # Hard capacity = soft gate + headroom for steps already in
         # flight when the gate was passed, so a healthy stream's drain
         # can never block the shared dispatcher (ready() gates on the
@@ -166,9 +186,26 @@ class StreamSlot:
         self.writer: threading.Thread | None = None
 
     def push_input(self, frames: np.ndarray) -> None:
+        now = time.monotonic()
         with self.buf_lock:
+            before = self.buf.shape[1] // self.block_in
             self.buf = np.concatenate([self.buf, frames], axis=1)
+            after = self.buf.shape[1] // self.block_in
+            # One input-ready timestamp per block COMPLETED by this push
+            # (the block's last sample just arrived).
+            self.block_ts.extend([now] * (after - before))
         self.stats.frames_in += frames.shape[1]
+
+    def note_eof_partial(self) -> None:
+        """EOF with a trailing partial block: the partial became
+        dispatchable now — stamp its input-ready time."""
+        with self.buf_lock:
+            if self.buf.shape[1] % self.block_in:
+                self.block_ts.append(time.monotonic())
+
+    def input_full(self) -> bool:
+        with self.buf_lock:
+            return self.buf.shape[1] >= self.max_input_samples
 
     def blocks_available(self) -> int:
         """Whole blocks ready (EOF counts a pending partial as one)."""
@@ -179,10 +216,11 @@ class StreamSlot:
                 return 1
             return n
 
-    def take_blocks(self, k: int) -> tuple[np.ndarray, int] | None:
+    def take_blocks(self, k: int) -> tuple[np.ndarray, int, list] | None:
         """Up to k whole blocks (the final EOF partial zero-padded),
         returned as [C, k*block_in] with the unused tail zero-padded.
-        Returns (frames, valid_frames) or None when nothing is ready."""
+        Returns (frames, valid_frames, block_ready_timestamps) or None
+        when nothing is ready."""
         with self.buf_lock:
             n = self.buf.shape[1]
             take = min(n - n % self.block_in, k * self.block_in)
@@ -195,11 +233,14 @@ class StreamSlot:
                 return None
             frames = self.buf[:, :take]
             self.buf = self.buf[:, take:]
+            nb = -(-take // self.block_in)
+            ts, self.block_ts = self.block_ts[:nb], self.block_ts[nb:]
+        self.space.set()  # wake a reader throttled on the input cap
         valid = take
         pad = k * self.block_in - take
         if pad:
             frames = np.pad(frames, [(0, 0), (0, pad)])
-        return np.ascontiguousarray(frames), valid
+        return np.ascontiguousarray(frames), valid, ts
 
     def ready(self) -> bool:
         if self.sock is None or self.closing.is_set():
@@ -263,6 +304,7 @@ class StreamServer:
         kernel_tuning: KernelTuning | None = None,
         header_timeout_s: float = 10.0,
         max_blocks_per_step: int = 16,
+        max_input_backlog_blocks: int = 32,
     ) -> None:
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
         self.sample_rate = sample_rate
@@ -291,9 +333,14 @@ class StreamServer:
         self._slot_widths = sorted(
             {w for w in (8, 16, 32, 64, 128, 256, 512, 1024)
              if w < top and w >= min(8, top)} | {top})
+        if max_input_backlog_blocks < max_blocks_per_step:
+            raise ValueError(
+                "max_input_backlog_blocks must be >= max_blocks_per_step "
+                f"({max_input_backlog_blocks} < {max_blocks_per_step})")
         self.slots = [
             StreamSlot(i, channels, self.config.halo_in,
-                       self.config.block_in, self.config.block_size)
+                       self.config.block_in, self.config.block_size,
+                       max_input_blocks=max_input_backlog_blocks)
             for i in range(max_streams)
         ]
         self._free = list(range(max_streams))
@@ -392,6 +439,9 @@ class StreamServer:
                 fmt: PcmFormat | None, eq=None) -> None:
         slot.tail[:] = 0.0
         slot.buf = np.zeros((self.channels, 0), np.float32)
+        slot.block_ts = []
+        slot.lat_ms = []
+        slot.space.set()
         while not slot.out.empty():
             slot.out.get_nowait()
         with slot.out_lock:
@@ -452,6 +502,24 @@ class StreamServer:
         try:
             while (not self._stop.is_set() and not slot.closing.is_set()
                    and slot.generation == gen):
+                # Input-side bound: while the backlog is at its cap, stop
+                # recv'ing — the kernel socket buffer fills and TCP flow
+                # control throttles the sender. Bounded host memory per
+                # stream no matter how hostile the client.
+                throttled = False
+                while slot.input_full():
+                    if (self._stop.is_set() or slot.closing.is_set()
+                            or slot.generation != gen):
+                        return
+                    if not throttled:
+                        throttled = True
+                        slot.stats.input_throttles += 1
+                    slot.space.clear()
+                    # Re-check after clear: take_blocks may have consumed
+                    # (and set) between the check and the clear.
+                    if not slot.input_full():
+                        break
+                    slot.space.wait(timeout=0.5)
                 try:
                     chunk = sock.recv(65536)
                 except OSError:
@@ -485,6 +553,7 @@ class StreamServer:
                 self._kick.set()
         finally:
             if slot.generation == gen:
+                slot.note_eof_partial()
                 slot.eof = True
                 self._kick.set()
 
@@ -606,7 +675,7 @@ class StreamServer:
             taken = slot.take_blocks(k)
             if taken is None:
                 continue
-            frames, valid = taken
+            frames, valid, ts = taken
             r0 = len(served) * self.channels
             x[r0:r0 + self.channels] = frames
             tails[r0:r0 + self.channels] = slot.tail
@@ -615,7 +684,7 @@ class StreamServer:
             joined = np.concatenate([slot.tail, frames[:, :valid]], axis=1)
             slot.tail = joined[:, -self.config.halo_in:]
             slot.pending_steps += 1
-            served.append((slot, r0, valid))
+            served.append((slot, r0, valid, ts))
         if not served:
             return None
         return x, tails, served
@@ -625,7 +694,7 @@ class StreamServer:
         # Decrement pending_steps for EVERY served slot up front: if the
         # device fetch below raises (runtime fault), no slot is left with
         # a phantom in-flight step that would block its release forever.
-        for slot, _r0, _valid in served:
+        for slot, *_rest in served:
             slot.pending_steps -= 1
         t0 = time.monotonic()
         try:
@@ -633,12 +702,12 @@ class StreamServer:
         except Exception:
             # Device fetch failed: these streams' audio now has a hole —
             # cut them (clients reconnect) instead of sending a gap.
-            for slot, _r0, _valid in served:
+            for slot, *_rest in served:
                 self._cut(slot, "device step fetch failed")
             raise
         with self.stats.lock:
             self.stats.drain_wall_s += time.monotonic() - t0
-        for slot, r0, valid in served:
+        for slot, r0, valid, ts in served:
             if slot.sock is None or slot.closing.is_set():
                 continue  # stream gone mid-flight: discard its rows
             # COPY the slot's rows: a view would pin the whole batched
@@ -664,6 +733,13 @@ class StreamServer:
                     slot.out_blocks -= nblocks
                 self._cut(slot, "output queue stalled")
                 continue
+            # Per-block latency: input-ready (block's last sample arrived)
+            # -> output-queued (just now). Reservoir-capped; dispatcher
+            # thread only.
+            now = time.monotonic()
+            slot.lat_ms.extend((now - t) * 1e3 for t in ts)
+            if len(slot.lat_ms) > 512:
+                del slot.lat_ms[:len(slot.lat_ms) - 512]
             with self.stats.lock:
                 self.stats.frames_out += out.shape[1]
 
@@ -761,11 +837,27 @@ class StreamServer:
             except Exception:
                 log.exception("serve: final drain failed")
 
+    def _slot_status(self, s: StreamSlot) -> dict:
+        """One stream's stats row: counters + live backlog + the
+        input-ready -> output-queued latency distribution."""
+        row = dict(slot=s.index, **s.stats.to_json())
+        with s.buf_lock:
+            row["input_backlog_blocks"] = s.buf.shape[1] // s.block_in
+        with s.out_lock:
+            row["output_backlog_blocks"] = s.out_blocks
+        lat = list(s.lat_ms)
+        if lat:
+            q50, q95 = np.percentile(lat, [50, 95])
+            row["latency_ms"] = {"p50": round(float(q50), 3),
+                                 "p95": round(float(q95), 3),
+                                 "max": round(float(max(lat)), 3)}
+        return row
+
     def _write_stats(self) -> None:
         if not self._stats_path:
             return
         active = sum(1 for s in self.slots if s.sock is not None)
-        per_stream = [dict(slot=s.index, **s.stats.to_json())
+        per_stream = [self._slot_status(s)
                       for s in self.slots if s.sock is not None]
         tmp = self._stats_path + ".tmp"
         try:
