@@ -656,6 +656,252 @@ class TestAdaptiveWidth:
             srv.stop()
 
 
+def _control_client(port: int, timeout=60):
+    """Open a serve stream and return (sock, helpers) for staged
+    send/read control tests."""
+    s = socket.create_connection(("127.0.0.1", port), timeout=timeout)
+    s.sendall(pack_header(None, 2, RATE))
+    hdr = b""
+    while len(hdr) < HEADER_BYTES:
+        hdr += s.recv(HEADER_BYTES - len(hdr))
+
+    def send(frames: np.ndarray) -> None:
+        s.sendall(interleave(frames).astype("<f4").tobytes())
+
+    def read_exact(n_frames: int) -> np.ndarray:
+        need = n_frames * 2 * 4
+        buf = bytearray()
+        while len(buf) < need:
+            got = s.recv(need - len(buf))
+            assert got, "server closed early"
+            buf += got
+        flat = np.frombuffer(bytes(buf), "<f4")
+        return flat.reshape(n_frames, 2).T
+
+    def read_rest() -> np.ndarray:
+        buf = bytearray()
+        while True:
+            got = s.recv(65536)
+            if not got:
+                break
+            buf += got
+        flat = np.frombuffer(bytes(buf), "<f4")
+        return flat.reshape(-1, 2).T
+
+    return s, send, read_exact, read_rest
+
+
+def _wait_counter(get, target, timeout=30):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if get() >= target:
+            return
+        time.sleep(0.01)
+    raise AssertionError(f"counter never reached {target}")
+
+
+class TestServeControl:
+    """Live control on the SERVING plane: the shared spectrum swaps under
+    active streams with a per-slot crossfade — the reference's
+    RELOAD/PHASE_TYPE surface without its container restart."""
+
+    FADE = 500
+
+    def _start(self, fade=FADE, max_streams=4):
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=max_streams, channels=2,
+                           swap_fade_frames=fade)
+        srv.start()
+        return srv, lf, port
+
+    def test_set_eq_mid_stream_crossfades_exactly(self, rng):
+        srv, lf, port = self._start()
+        try:
+            block_in = srv.config.block_in
+            ratio = srv.config.ratio
+            p1 = (rng.normal(size=(2, 4 * block_in)) * 0.3).astype(np.float32)
+            p2 = (rng.normal(size=(2, 6 * block_in)) * 0.3).astype(np.float32)
+            x = np.concatenate([p1, p2], axis=1)
+            eq = np.linspace(0.4, 1.2, srv.config.n_bins)
+
+            s, send, read_exact, read_rest = _control_client(port)
+            send(p1)
+            y1 = read_exact(p1.shape[1] * ratio)   # part 1 fully drained
+            srv.set_eq(eq)
+            _wait_counter(lambda: srv.stats.spectrum_swaps, 1)
+            send(p2)
+            s.shutdown(socket.SHUT_WR)
+            y2 = read_rest()
+            s.close()
+
+            n1 = p1.shape[1] * ratio
+            ref_old = upsample_signal(x, lf)
+            ref_new = upsample_signal(x, lf, eq_response=eq)
+            np.testing.assert_allclose(y1, ref_old[:, :n1],
+                                       rtol=1e-5, atol=1e-6)
+            F = self.FADE
+            ramp = np.arange(F, dtype=np.float32) / F
+            expect2 = ref_new[:, n1:].copy()
+            expect2[:, :F] = (ref_old[:, n1:n1 + F] * (1.0 - ramp)
+                              + ref_new[:, n1:n1 + F] * ramp)
+            assert y2.shape == expect2.shape
+            np.testing.assert_allclose(y2, expect2, rtol=1e-4, atol=1e-5)
+            # The swap really changed the audio (guards a no-op fade).
+            assert not np.allclose(ref_old[:, n1 + F:], ref_new[:, n1 + F:])
+        finally:
+            srv.stop()
+
+    def test_load_filter_swap_mid_stream(self, rng):
+        """Phase-flip analog: a different same-geometry filter swaps in
+        live with the crossfade."""
+        srv, lf, port = self._start()
+        lf2 = _filter(seed=11)
+        try:
+            block_in = srv.config.block_in
+            ratio = srv.config.ratio
+            p1 = (rng.normal(size=(2, 3 * block_in)) * 0.3).astype(np.float32)
+            p2 = (rng.normal(size=(2, 5 * block_in)) * 0.3).astype(np.float32)
+            x = np.concatenate([p1, p2], axis=1)
+
+            s, send, read_exact, read_rest = _control_client(port)
+            send(p1)
+            y1 = read_exact(p1.shape[1] * ratio)
+            srv.load_filter(lf2)
+            _wait_counter(lambda: srv.stats.spectrum_swaps, 1)
+            send(p2)
+            s.shutdown(socket.SHUT_WR)
+            y2 = read_rest()
+            s.close()
+
+            n1 = p1.shape[1] * ratio
+            ref_old = upsample_signal(x, lf)
+            ref_new = upsample_signal(x, lf2)
+            np.testing.assert_allclose(y1, ref_old[:, :n1],
+                                       rtol=1e-5, atol=1e-6)
+            F = self.FADE
+            ramp = np.arange(F, dtype=np.float32) / F
+            expect2 = ref_new[:, n1:].copy()
+            expect2[:, :F] = (ref_old[:, n1:n1 + F] * (1.0 - ramp)
+                              + ref_new[:, n1:n1 + F] * ramp)
+            np.testing.assert_allclose(y2, expect2, rtol=1e-4, atol=1e-5)
+            assert srv.filter is lf2
+        finally:
+            srv.stop()
+
+    def test_geometry_mismatch_rejected_live(self):
+        srv, lf, port = self._start()
+        try:
+            other = _filter(taps=17, fft=128, ratio=2, seed=3)
+            with pytest.raises(ValueError, match="geometry"):
+                srv.load_filter(other)
+        finally:
+            srv.stop()
+
+    def test_soft_reset_zeroes_stream_history(self, rng):
+        srv, lf, port = self._start(fade=0)
+        try:
+            block_in = srv.config.block_in
+            ratio = srv.config.ratio
+            p1 = (rng.normal(size=(2, 3 * block_in)) * 0.3).astype(np.float32)
+            p2 = (rng.normal(size=(2, 2 * block_in)) * 0.3).astype(np.float32)
+
+            s, send, read_exact, read_rest = _control_client(port)
+            send(p1)
+            read_exact(p1.shape[1] * ratio)
+            srv.soft_reset()
+            _wait_counter(lambda: srv.stats.soft_resets, 1)
+            send(p2)
+            s.shutdown(socket.SHUT_WR)
+            y2 = read_rest()
+            s.close()
+            # History zeroed: continuation equals a FRESH stream's output.
+            np.testing.assert_allclose(y2, upsample_signal(p2, lf),
+                                       rtol=1e-5, atol=1e-6)
+        finally:
+            srv.stop()
+
+    def test_concurrent_streams_fade_in_own_timelines(self, rng):
+        """Two live streams at different positions when the swap lands:
+        each crossfades over ITS OWN next FADE output samples."""
+        srv, lf, port = self._start()
+        try:
+            block_in = srv.config.block_in
+            ratio = srv.config.ratio
+            eq = np.linspace(1.3, 0.6, srv.config.n_bins)
+            parts = {
+                "a": ((rng.normal(size=(2, 2 * block_in)) * 0.3)
+                      .astype(np.float32),
+                      (rng.normal(size=(2, 4 * block_in)) * 0.3)
+                      .astype(np.float32)),
+                "b": ((rng.normal(size=(2, 5 * block_in)) * 0.3)
+                      .astype(np.float32),
+                      (rng.normal(size=(2, 3 * block_in)) * 0.3)
+                      .astype(np.float32)),
+            }
+            clients = {k: _control_client(port) for k in parts}
+            y1 = {}
+            for k, (p1, _p2) in parts.items():
+                clients[k][1](p1)                       # send
+            for k, (p1, _p2) in parts.items():
+                y1[k] = clients[k][2](p1.shape[1] * ratio)  # read_exact
+            srv.set_eq(eq)
+            _wait_counter(lambda: srv.stats.spectrum_swaps, 1)
+            y2 = {}
+            for k, (_p1, p2) in parts.items():
+                s = clients[k][0]
+                clients[k][1](p2)
+                s.shutdown(socket.SHUT_WR)
+            for k in parts:
+                y2[k] = clients[k][3]()                 # read_rest
+                clients[k][0].close()
+
+            F = self.FADE
+            ramp = np.arange(F, dtype=np.float32) / F
+            for k, (p1, p2) in parts.items():
+                x = np.concatenate([p1, p2], axis=1)
+                n1 = p1.shape[1] * ratio
+                ref_old = upsample_signal(x, lf)
+                ref_new = upsample_signal(x, lf, eq_response=eq)
+                np.testing.assert_allclose(y1[k], ref_old[:, :n1],
+                                           rtol=1e-5, atol=1e-6)
+                expect2 = ref_new[:, n1:].copy()
+                expect2[:, :F] = (ref_old[:, n1:n1 + F] * (1.0 - ramp)
+                                  + ref_new[:, n1:n1 + F] * ramp)
+                np.testing.assert_allclose(y2[k], expect2, rtol=1e-4,
+                                           atol=1e-5, err_msg=f"stream {k}")
+        finally:
+            srv.stop()
+
+    def test_abrupt_swap_without_fade(self, rng):
+        """swap_fade_frames=0 keeps the reference's abrupt-swap
+        semantics: post-swap output is pure new spectrum."""
+        srv, lf, port = self._start(fade=0)
+        try:
+            block_in = srv.config.block_in
+            ratio = srv.config.ratio
+            p1 = (rng.normal(size=(2, 2 * block_in)) * 0.3).astype(np.float32)
+            p2 = (rng.normal(size=(2, 2 * block_in)) * 0.3).astype(np.float32)
+            x = np.concatenate([p1, p2], axis=1)
+            eq = np.linspace(0.5, 1.5, srv.config.n_bins)
+            s, send, read_exact, read_rest = _control_client(port)
+            send(p1)
+            read_exact(p1.shape[1] * ratio)
+            srv.set_eq(eq)
+            _wait_counter(lambda: srv.stats.spectrum_swaps, 1)
+            send(p2)
+            s.shutdown(socket.SHUT_WR)
+            y2 = read_rest()
+            s.close()
+            n1 = p1.shape[1] * ratio
+            ref_new = upsample_signal(x, lf, eq_response=eq)
+            np.testing.assert_allclose(y2, ref_new[:, n1:],
+                                       rtol=1e-5, atol=1e-6)
+        finally:
+            srv.stop()
+
+
 class TestInputBound:
     def test_flooding_nonreading_client_is_bounded_and_isolated(self, rng):
         """A hostile client that sends fast and never reads its output

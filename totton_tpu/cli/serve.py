@@ -8,14 +8,24 @@ back the upsampled stream at rate*ratio on the same connection:
   totton-serve --listen tcp-listen://:9100 --rate 44100 --ratio 16 \\
       --filter-dir data/coefficients --max-streams 64
 
+With --control-endpoint the server exposes the reference ZMQ command set
+(src/zmq/zmq_server_main.cpp:150-221) acting on the LIVE serving plane:
+RELOAD re-reads --config (EQ/phase) and swaps the shared spectrum under
+every active stream with a per-slot crossfade; PHASE_TYPE_SET flips
+min/linear the same way; SOFT_RESET zeroes stream histories; STATS
+merges the serve stats file. The reference needs a container restart for
+any of these.
+
 Exit codes: 0 ok, 1 runtime failure, 2 bad arguments.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import signal
 import sys
+from pathlib import Path
 
 from totton_tpu.engine.selector import FilterSelectionError, resolve_filter_path
 from totton_tpu.eq.apo import parse_eq_file
@@ -35,8 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[2, 4, 8, 16], help="upsample ratio")
     p.add_argument("--filter", help="filter JSON path")
     p.add_argument("--filter-dir", default="data/coefficients")
-    p.add_argument("--phase", default="min",
-                   choices=["min", "minimum", "linear"])
+    p.add_argument("--phase", default=None,
+                   choices=["min", "minimum", "linear"],
+                   help="filter phase (default: config.json's "
+                        "filter.phaseType when --config is given, else min)")
     p.add_argument("--channels", type=int, default=2,
                    help="channels per stream")
     p.add_argument("--max-streams", type=int, default=64,
@@ -45,9 +57,34 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adaptive per-step block depth cap (power of two; "
                         "bursty clients batch up to this many filter "
                         "blocks per dispatch)")
+    p.add_argument("--max-input-backlog", type=int, default=32,
+                   metavar="BLOCKS",
+                   help="per-stream input backlog cap in filter blocks; "
+                        "at the cap the reader stops recv'ing and TCP "
+                        "flow control throttles the sender (bounded "
+                        "memory against flooding clients)")
+    p.add_argument("--swap-fade", type=int, default=4096, metavar="FRAMES",
+                   help="crossfade length (output frames) each stream "
+                        "fades over on a live filter/EQ hot-swap "
+                        "(0 = abrupt swap)")
     p.add_argument("--eq-profile",
                    help="Equalizer-APO profile baked into the served "
                         "spectrum (shared by all streams)")
+    p.add_argument("--config", dest="config_path",
+                   default=os.environ.get("TOTTON_CONFIG_PATH"),
+                   help="config.json to track: eqEnabled/eqProfilePath and "
+                        "filter.phaseType are read at startup AND re-read "
+                        "on every RELOAD, so web-driven EQ/phase changes "
+                        "reach the live serving plane (--eq-profile/"
+                        "--phase override; default $TOTTON_CONFIG_PATH)")
+    p.add_argument("--control-endpoint", metavar="ENDPOINT",
+                   help="serve the ZMQ control protocol from inside the "
+                        "server (RELOAD/SOFT_RESET/PHASE_TYPE_* act on "
+                        "the live serving plane; e.g. "
+                        "ipc:///tmp/totton_zmq.sock)")
+    p.add_argument("--control-pub-endpoint", metavar="ENDPOINT",
+                   help="control-event PUB endpoint (reload/phase events "
+                        "with seq numbers + heartbeat)")
     p.add_argument("--stats-path",
                    help="write aggregate + per-stream stats JSON here")
     p.add_argument("--duration", type=float,
@@ -57,23 +94,70 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    # Startup phase: explicit --phase > config.json filter.phaseType > min
+    # (cli/stream.py convention; a PHASE_TYPE_SET persisted into config
+    # must survive a server restart).
+    phase = args.phase
+    if phase is None and args.config_path:
+        from totton_tpu.web.services.config import load_config
+
+        settings = load_config(Path(args.config_path))
+        if settings.filter and settings.filter.phase_type in (
+                "min", "minimum", "linear"):
+            phase = settings.filter.phase_type
+    phase = phase or "min"
+
+    def resolve_filter(phase: str):
+        """Explicitly pinned --filter stays pinned while the phase is
+        unchanged from startup (cli/stream.py reload_filter rule)."""
+        if args.filter and phase == startup_phase:
+            path = args.filter
+        else:
+            path = resolve_filter_path(
+                filter_path=None, filter_dir=args.filter_dir, phase=phase,
+                ratio=args.ratio, input_rate=args.rate)
+        return path, load_filter(path)
+
+    startup_phase = "minimum" if phase in ("min", "minimum") else "linear"
     try:
-        path = resolve_filter_path(
-            filter_path=args.filter, filter_dir=args.filter_dir,
-            phase=args.phase, ratio=args.ratio, input_rate=args.rate)
-        loaded = load_filter(path)
+        if args.filter:
+            path, loaded = args.filter, load_filter(args.filter)
+        else:
+            path, loaded = resolve_filter(phase)
     except (FilterSelectionError, ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    eq = None
-    if args.eq_profile:
-        try:
-            profile = parse_eq_file(args.eq_profile)
-            eq = profile_response_for_fft(
-                profile, loaded.sidecar.fft_size, args.rate * loaded.ratio)
-        except (OSError, ValueError) as e:
+
+    def resolve_eq_response(fft_size: int, output_rate: int):
+        """--eq-profile wins; otherwise config.json's
+        eqEnabled/eqProfilePath — re-read on every RELOAD so web-driven
+        EQ activation reaches the live serving plane."""
+        eq_path = args.eq_profile
+        if not eq_path and args.config_path:
+            from totton_tpu.web.services.config import load_config
+
+            settings = load_config(Path(args.config_path))
+            if settings.eq_enabled and settings.eq_profile_path:
+                eq_path = settings.eq_profile_path
+        if not eq_path:
+            return None, None
+        profile = parse_eq_file(eq_path)
+        return profile_response_for_fft(profile, fft_size, output_rate), (
+            f"{eq_path} ({profile.active_band_count} active bands, "
+            f"preamp {profile.preamp_db} dB)")
+
+    try:
+        eq, eq_desc = resolve_eq_response(
+            loaded.sidecar.fft_size, args.rate * loaded.ratio)
+    except (OSError, ValueError) as e:
+        if args.eq_profile:
             print(f"error: --eq-profile: {e}", file=sys.stderr)
             return 1
+        print(f"warning: EQ from config skipped ({e})", file=sys.stderr)
+        eq, eq_desc = None, None
+    if eq_desc:
+        print(f"EQ profile baked in: {eq_desc}", file=sys.stderr)
 
     from totton_tpu.serve import StreamServer
 
@@ -82,18 +166,87 @@ def main(argv: list[str] | None = None) -> int:
             loaded, args.listen, args.rate, max_streams=args.max_streams,
             channels=args.channels, eq_response=eq,
             stats_path=args.stats_path,
-            max_blocks_per_step=args.max_blocks_per_step)
+            max_blocks_per_step=args.max_blocks_per_step,
+            max_input_backlog_blocks=args.max_input_backlog,
+            swap_fade_frames=args.swap_fade)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+
+    # In-process control plane acting on the LIVE serving plane (the
+    # reference's command set; its shipped daemon is a counter stub and
+    # RELOAD restarts the container — SURVEY.md L1 note).
+    daemon = None
+    if args.control_endpoint:
+        from totton_tpu.control.daemon import ControlDaemon
+
+        current_phase = {"value": startup_phase}
+
+        def reload_serving(phase: str) -> dict:
+            pth, lf = resolve_filter(phase)
+            try:
+                eq_resp, desc = resolve_eq_response(
+                    lf.sidecar.fft_size, args.rate * lf.ratio)
+            except (OSError, ValueError) as e:
+                print(f"Live reload: EQ skipped ({e})", file=sys.stderr)
+                eq_resp, desc = None, None
+            server.load_filter(lf, eq_response=eq_resp)
+            print(f"Live serve reload: {pth}"
+                  + (f" + EQ {desc}" if desc else ""), file=sys.stderr)
+            return {}
+
+        def on_reload() -> dict:
+            if args.config_path:
+                from totton_tpu.web.services.config import load_config
+
+                settings = load_config(Path(args.config_path))
+                ph = settings.filter.phase_type if settings.filter else None
+                if ph in ("min", "minimum"):
+                    ph = "minimum"
+                if ph in ("minimum", "linear") \
+                        and ph != current_phase["value"]:
+                    current_phase["value"] = ph
+                    if daemon is not None:
+                        daemon.phase_type = ph
+            return reload_serving(current_phase["value"])
+
+        def on_phase_change(ph: str) -> dict:
+            # Reload FIRST: a failed swap (no such filter on disk /
+            # geometry change) propagates to the daemon reply and the
+            # reported phase stays what the plane is actually serving.
+            extra = reload_serving(ph)
+            current_phase["value"] = ph
+            if args.config_path:
+                from totton_tpu.web.services.config import save_config_updates
+
+                save_config_updates({"filter": {"phaseType": ph}},
+                                    Path(args.config_path))
+            return extra
+
+        daemon = ControlDaemon(
+            endpoint=args.control_endpoint,
+            pub_endpoint=args.control_pub_endpoint,
+            on_reload=on_reload,
+            on_soft_reset=server.soft_reset,
+            on_phase_change=on_phase_change,
+            stats_path=args.stats_path,
+            phase_type=current_phase["value"],
+        )
+        daemon.start()
+        print(f"Control endpoint: {args.control_endpoint}", file=sys.stderr)
+
+        import threading
+
+        threading.Thread(
+            target=lambda: (daemon.wait_for_shutdown(),
+                            server.request_stop()),
+            daemon=True, name="totton-serve-shutdown-watch").start()
 
     stop_count = {"n": 0}
 
     def handle_signal(signum, frame):
         stop_count["n"] += 1
         if stop_count["n"] >= 2:
-            import os
-
             os._exit(1)
         # Graceful: stop accepting, let active streams finish (bounded),
         # then stop. Second signal hard-exits.
@@ -101,8 +254,7 @@ def main(argv: list[str] | None = None) -> int:
 
         def _drain():
             server.drain(timeout_s=30.0)
-            server._stop.set()
-            server._kick.set()
+            server.request_stop()
 
         threading.Thread(target=_drain, daemon=True,
                          name="totton-serve-drain").start()
@@ -113,13 +265,15 @@ def main(argv: list[str] | None = None) -> int:
     server.start()
     print(f"Serving on {args.listen}: {args.max_streams} stream slots, "
           f"{args.rate} Hz -> {args.rate * loaded.ratio} Hz "
-          f"({loaded.sidecar.taps} taps)", file=sys.stderr)
+          f"({loaded.sidecar.taps} taps, {path})", file=sys.stderr)
     server.wait(args.duration)
     server.stop()
+    if daemon is not None:
+        daemon.stop()
     j = server.stats.to_json(0, [])
     print(f"Served {j['streams']['accepted']} streams "
-          f"({j['steps']} steps, {j['frames_out']} frames out)",
-          file=sys.stderr)
+          f"({j['steps']} steps, {j['frames_out']} frames out, "
+          f"{j['spectrum_swaps']} live swaps)", file=sys.stderr)
     print("Serving stopped", file=sys.stderr)
     return 0
 

@@ -170,6 +170,11 @@ class StreamSlot:
         self.out_lock = threading.Lock()
         self.sock: socket.socket | None = None
         self.fmt: PcmFormat | None = None
+        # Per-slot crossfade state for live spectrum swaps (dispatcher
+        # thread only): each stream fades old -> new over its OWN next
+        # swap_fade_frames output samples, however its dispatches land.
+        self.fade_from = None     # pre-swap spectrum (device array ref)
+        self.fade_pos = 0         # output samples of the fade already mixed
         # Per-stream EQ (scipy sos + carried filter state + preamp gain).
         self.eq_sos: np.ndarray | None = None
         self.eq_zi: np.ndarray | None = None
@@ -265,6 +270,8 @@ class ServeStats:
         self.finished = 0
         self.steps = 0
         self.frames_out = 0
+        self.spectrum_swaps = 0   # live RELOAD/EQ/phase swaps applied
+        self.soft_resets = 0
         self.drain_wall_s = 0.0   # summed device-wait time in _drain_one
         #: dispatch count per "slots x blocks" shape (adaptive width/depth
         #: observability: shows what the chip actually ran)
@@ -280,6 +287,8 @@ class ServeStats:
                             "finished": self.finished},
                 "steps": self.steps,
                 "steps_by_shape": dict(self.steps_by_shape),
+                "spectrum_swaps": self.spectrum_swaps,
+                "soft_resets": self.soft_resets,
                 "frames_out": self.frames_out,
                 "avg_step_drain_ms": round(
                     self.drain_wall_s / self.steps * 1e3, 3)
@@ -305,8 +314,10 @@ class StreamServer:
         header_timeout_s: float = 10.0,
         max_blocks_per_step: int = 16,
         max_input_backlog_blocks: int = 32,
+        swap_fade_frames: int = 0,
     ) -> None:
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
+        self._filter = filt
         self.sample_rate = sample_rate
         self.max_streams = max_streams
         self.channels = channels
@@ -354,6 +365,18 @@ class StreamServer:
         #: cap on the adaptive per-step block depth (see _gather)
         self.max_blocks_per_step = max_blocks_per_step
         self._header_timeout_s = header_timeout_s
+        # Live control (set_eq / load_filter / soft_reset): control
+        # threads QUEUE the change here; the dispatcher applies it at its
+        # next step boundary, arming each active stream's per-slot
+        # crossfade. All spectrum mutation thus happens on the dispatcher
+        # thread — no step can straddle a half-applied swap.
+        if swap_fade_frames < 0:
+            raise ValueError(
+                f"swap_fade_frames must be >= 0: {swap_fade_frames}")
+        self._swap_fade_frames = swap_fade_frames
+        self._swap_lock = threading.Lock()
+        self._pending_spectrum = None
+        self._pending_reset = False
         self._stop = threading.Event()
         self._srv: socket.socket | None = None
         self._threads: list[threading.Thread] = []
@@ -449,6 +472,8 @@ class StreamServer:
         slot.eof = False
         slot.flushed = False
         slot.finished = False
+        slot.fade_from = None
+        slot.fade_pos = 0
         # detached was already cleared under the acceptor's claim lock.
         slot.generation += 1
         slot.pending_steps = 0
@@ -633,6 +658,90 @@ class StreamServer:
             except OSError:
                 pass
 
+    # -- live control ------------------------------------------------------
+    #
+    # The reference's entire control surface (RELOAD / PHASE_TYPE_SET /
+    # SOFT_RESET, src/zmq/zmq_server_main.cpp:150-221) reaches the
+    # single-stream engine live; these give the SERVING plane the same
+    # capability: the shared spectrum swaps under 64 live listeners with
+    # a per-slot crossfade — no server restart, no click, no dropped
+    # sample (the reference's RELOAD restarts the container).
+
+    @property
+    def filter(self) -> LoadedFilter:
+        return self._filter
+
+    def set_eq(self, eq_response: np.ndarray | None) -> None:
+        """Hot-swap the EQ baked into the served spectrum (all streams).
+        Applied by the dispatcher at its next step boundary; each active
+        stream crossfades old -> new over swap_fade_frames of its own
+        output."""
+        spectrum = filter_spectrum(self._filter.taps, self.config.fft_size,
+                                   eq_response)
+        with self._swap_lock:
+            self._pending_spectrum = spectrum
+        self._kick.set()
+
+    def load_filter(self, filt: LoadedFilter,
+                    eq_response: np.ndarray | None = None) -> None:
+        """Swap the served filter live (phase flip / RELOAD). The serve
+        batch's shapes are static, so the new filter must keep the same
+        overlap-save geometry — true for the bundled min/linear pairs."""
+        cfg = OverlapSaveConfig.from_sidecar(filt.sidecar)
+        if cfg != self.config:
+            raise ValueError(
+                "serve filter swap requires identical overlap-save "
+                f"geometry (have {self.config}, new {cfg})")
+        spectrum = filter_spectrum(filt.taps, cfg.fft_size, eq_response)
+        with self._swap_lock:
+            self._filter = filt
+            self._pending_spectrum = spectrum
+        self._kick.set()
+
+    def soft_reset(self) -> None:
+        """Zero every active stream's carried history (reference
+        Reset(), vulkan_streaming_upsampler.cpp:598-600, per slot)."""
+        with self._swap_lock:
+            self._pending_reset = True
+        self._kick.set()
+
+    def request_stop(self) -> None:
+        """Unblock wait() and stop serving (SHUTDOWN path)."""
+        self._stop.set()
+        self._kick.set()
+
+    def _apply_pending_control(self) -> None:
+        """Apply queued control changes at a step boundary (dispatcher
+        thread only)."""
+        with self._swap_lock:
+            spectrum, self._pending_spectrum = self._pending_spectrum, None
+            reset, self._pending_reset = self._pending_reset, False
+        if reset:
+            for slot in self.slots:
+                slot.tail[:] = 0.0
+                slot.fade_from = None
+                slot.fade_pos = 0
+            with self.stats.lock:
+                self.stats.soft_resets += 1
+            log.info("serve: soft reset (all stream histories zeroed)")
+        if spectrum is not None:
+            old = self._spectrum
+            self._spectrum = spectrum
+            if self._swap_fade_frames:
+                for slot in self.slots:
+                    # Arm the fade for every live stream; a stream already
+                    # mid-fade keeps its ORIGINAL pre-swap spectrum (fade
+                    # from what was last heard — engine._note_swap
+                    # convention). Streams attaching later start clean on
+                    # the new spectrum.
+                    if slot.sock is not None and slot.fade_from is None:
+                        slot.fade_from = old
+                        slot.fade_pos = 0
+            with self.stats.lock:
+                self.stats.spectrum_swaps += 1
+            log.info("serve: spectrum swapped live (fade %d frames)",
+                     self._swap_fade_frames)
+
     # -- dispatcher --------------------------------------------------------
 
     def _gather(self) -> tuple[np.ndarray, np.ndarray, list[tuple]] | None:
@@ -689,8 +798,51 @@ class StreamServer:
             return None
         return x, tails, served
 
+    def _dispatch_fades(self, tj, xj, served) -> tuple[dict, list]:
+        """Old-spectrum prefix dispatches for fading served slots
+        (dispatcher thread only).
+
+        Streams mid-crossfade need this step's first n output samples
+        under the PRE-swap spectrum. The overlap-save tail is
+        input-domain — identical for both spectra — so one extra narrow
+        dispatch over the power-of-two block prefix covering the deepest
+        fade window reproduces the old output exactly (engine fade
+        machinery generalized to the serve row batch; fading slots are
+        grouped per distinct old spectrum, one dispatch per group).
+        Returns (fade_handles, served entries extended with fade info).
+        """
+        from totton_tpu.utils.intmath import pow2_ceil
+
+        total = self._swap_fade_frames
+        groups: dict[int, list] = {}
+        out = []
+        for slot, r0, valid, ts in served:
+            fade = None
+            if slot.fade_from is not None and total:
+                n = min(total - slot.fade_pos, valid * self.config.ratio)
+                if n > 0:
+                    key = id(slot.fade_from)
+                    g = groups.setdefault(key, [slot.fade_from, 0])
+                    g[1] = max(g[1], n)
+                    fade = (key, n, slot.fade_pos, total)
+                    slot.fade_pos += n
+                if slot.fade_pos >= total:
+                    slot.fade_from = None
+                    slot.fade_pos = 0
+            out.append((slot, r0, valid, ts, fade))
+        handles = {}
+        for key, (spec, n_max) in groups.items():
+            # Prefix width: pow2 blocks covering the deepest window (the
+            # same warmed shape universe — n <= valid*ratio bounds it by
+            # this step's own depth). Block j depends only on input up to
+            # (j+1)*block_in, so the prefix slice is exact.
+            nb = pow2_ceil(-(-n_max // self.config.block_size))
+            handles[key] = self._step(tj, xj[:, :nb * self.config.block_in],
+                                      spec)[0]
+        return handles, out
+
     def _drain_one(self, inflight: list) -> None:
-        y_dev, served = inflight.pop(0)
+        y_dev, fades, served = inflight.pop(0)
         # Decrement pending_steps for EVERY served slot up front: if the
         # device fetch below raises (runtime fault), no slot is left with
         # a phantom in-flight step that would block its release forever.
@@ -699,6 +851,7 @@ class StreamServer:
         t0 = time.monotonic()
         try:
             y = np.asarray(y_dev)
+            olds = {key: np.asarray(h) for key, h in fades.items()}
         except Exception:
             # Device fetch failed: these streams' audio now has a hole —
             # cut them (clients reconnect) instead of sending a gap.
@@ -707,14 +860,24 @@ class StreamServer:
             raise
         with self.stats.lock:
             self.stats.drain_wall_s += time.monotonic() - t0
-        for slot, r0, valid, ts in served:
+        for slot, r0, valid, ts, fade in served:
             if slot.sock is None or slot.closing.is_set():
                 continue  # stream gone mid-flight: discard its rows
-            # COPY the slot's rows: a view would pin the whole batched
-            # step array (up to [rows, k*block_size]) in every slow
-            # client's queue.
-            out = np.ascontiguousarray(
+            # COPY the slot's rows (np.array, not ascontiguousarray: the
+            # r0=0 slice is already contiguous, where ascontiguousarray
+            # returns a read-only VIEW that pins the whole batched step
+            # array in the client's queue and rejects the fade mix).
+            out = np.array(
                 y[r0:r0 + self.channels, : valid * self.config.ratio])
+            if fade is not None:
+                # Linear crossfade old -> new; ramp position carries
+                # across this stream's dispatches (same convention as
+                # engine.StreamingUpsampler: sample 0 is pure old).
+                key, n, pos0, total = fade
+                ramp = (pos0 + np.arange(n, dtype=np.float32)) / total
+                out[:, :n] = (
+                    olds[key][r0:r0 + self.channels, :n] * (1.0 - ramp)
+                    + out[:, :n] * ramp)
             # Account the blocks BEFORE put() (rolled back on Full): if
             # the writer dequeued+decremented before a post-put increment,
             # the clamped decrement would leave a phantom block that never
@@ -780,6 +943,9 @@ class StreamServer:
             # failure stops the server VISIBLY (wait() unblocks, the CLI
             # exits nonzero).
             try:
+                # Queued control changes (set_eq / load_filter /
+                # soft_reset) land at step boundaries, never mid-step.
+                self._apply_pending_control()
                 batch = self._gather()
                 if batch is None:
                     while inflight:
@@ -795,9 +961,10 @@ class StreamServer:
                     failures = 0
                     continue
                 x, tails, served = batch
-                y_dev, _ = self._step(jnp.asarray(tails), jnp.asarray(x),
-                                      self._spectrum)
-                inflight.append((y_dev, served))
+                tj, xj = jnp.asarray(tails), jnp.asarray(x)
+                y_dev, _ = self._step(tj, xj, self._spectrum)
+                fades, served = self._dispatch_fades(tj, xj, served)
+                inflight.append((y_dev, fades, served))
                 shape_key = (f"{x.shape[0] // self.channels}x"
                              f"{x.shape[1] // self.config.block_in}")
                 with self.stats.lock:
@@ -822,7 +989,7 @@ class StreamServer:
                 # Steps still in flight are unsalvageable here; release
                 # their slots' in-flight accounting and cut those streams
                 # (their audio has a hole anyway) so the slots recycle.
-                for _y_dev, served in inflight:
+                for _y_dev, _fades, served in inflight:
                     for slot, *_rest in served:
                         slot.pending_steps -= 1
                         self._cut(slot, "dispatcher failure")
