@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--control-pub-endpoint", metavar="ENDPOINT",
                    help="control-event PUB endpoint (reload/phase events "
                         "with seq numbers + heartbeat)")
+    p.add_argument("--shard-serve", type=int, default=0, metavar="N",
+                   help="shard the serve batch's slot rows across N "
+                        "devices of the mesh (row-parallel, no "
+                        "collectives; N chips serve ~N x the streams of "
+                        "one). 0 = single device")
     p.add_argument("--stats-path",
                    help="write aggregate + per-stream stats JSON here")
     p.add_argument("--duration", type=float,
@@ -159,6 +164,14 @@ def main(argv: list[str] | None = None) -> int:
     if eq_desc:
         print(f"EQ profile baked in: {eq_desc}", file=sys.stderr)
 
+    mesh = None
+    if args.shard_serve:
+        from totton_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_channel=args.shard_serve, n_time=1)
+        print(f"Sharded serving: slot rows over {args.shard_serve} "
+              "devices", file=sys.stderr)
+
     from totton_tpu.serve import StreamServer
 
     try:
@@ -168,7 +181,7 @@ def main(argv: list[str] | None = None) -> int:
             stats_path=args.stats_path,
             max_blocks_per_step=args.max_blocks_per_step,
             max_input_backlog_blocks=args.max_input_backlog,
-            swap_fade_frames=args.swap_fade)
+            swap_fade_frames=args.swap_fade, mesh=mesh)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

@@ -315,6 +315,7 @@ class StreamServer:
         max_blocks_per_step: int = 16,
         max_input_backlog_blocks: int = 32,
         swap_fade_frames: int = 0,
+        mesh=None,
     ) -> None:
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
         self._filter = filt
@@ -344,6 +345,29 @@ class StreamServer:
         self._slot_widths = sorted(
             {w for w in (8, 16, 32, 64, 128, 256, 512, 1024)
              if w < top and w >= min(8, top)} | {top})
+        # Multi-chip serving: slot rows sharded over the mesh. Serving is
+        # embarrassingly row-parallel — tails are HOST-managed, so the
+        # sharded step needs no ppermute/collectives at all; N chips
+        # serve ~N x the slots of one (SURVEY.md §2.3 charter; the
+        # reference is one stream per process on one GPU). The step
+        # program is unchanged: inputs are device_put with a row
+        # sharding and XLA partitions the batch axis.
+        self.mesh = mesh
+        self._sharding = None
+        if mesh is not None and int(mesh.devices.size) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(mesh.devices.size)
+            self._sharding = NamedSharding(
+                mesh, P(tuple(mesh.axis_names)))
+            widths = [w for w in self._slot_widths
+                      if (w * channels) % n_dev == 0]
+            if not widths:
+                raise ValueError(
+                    f"no serve step width in {self._slot_widths} shards "
+                    f"{channels}-channel slot rows evenly over {n_dev} "
+                    "devices; raise --max-streams or shrink the mesh")
+            self._slot_widths = widths
         if max_input_backlog_blocks < max_blocks_per_step:
             raise ValueError(
                 "max_input_backlog_blocks must be >= max_blocks_per_step "
@@ -798,6 +822,17 @@ class StreamServer:
             return None
         return x, tails, served
 
+    def _to_device(self, arr: np.ndarray):
+        """Host -> device transfer of a step input: plain put on one
+        chip, row-sharded put over the serve mesh otherwise (dim 0 =
+        slot rows; the spectrum stays replicated)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._sharding is None:
+            return jnp.asarray(arr)
+        return jax.device_put(arr, self._sharding)
+
     def _dispatch_fades(self, tj, xj, served) -> tuple[dict, list]:
         """Old-spectrum prefix dispatches for fading served slots
         (dispatcher thread only).
@@ -928,8 +963,6 @@ class StreamServer:
                     self._cut(slot, "EOF finish blocked by stalled writer")
 
     def _dispatcher(self) -> None:
-        import jax.numpy as jnp
-
         depth = 2
         inflight: list[tuple] = []
         last_stats = 0.0
@@ -961,7 +994,7 @@ class StreamServer:
                     failures = 0
                     continue
                 x, tails, served = batch
-                tj, xj = jnp.asarray(tails), jnp.asarray(x)
+                tj, xj = self._to_device(tails), self._to_device(x)
                 y_dev, _ = self._step(tj, xj, self._spectrum)
                 fades, served = self._dispatch_fades(tj, xj, served)
                 inflight.append((y_dev, fades, served))
@@ -1043,15 +1076,15 @@ class StreamServer:
         # before accepting: a first-client compile would stall every
         # later join too.
         import jax
-        import jax.numpy as jnp
 
         for width in self._slot_widths:
             rows = width * self.channels
-            zt = jnp.zeros((rows, self.config.halo_in), jnp.float32)
+            zt = self._to_device(
+                np.zeros((rows, self.config.halo_in), np.float32))
             k = 1
             while k <= self.max_blocks_per_step:
-                z = jnp.zeros((rows, k * self.config.block_in),
-                              jnp.float32)
+                z = self._to_device(
+                    np.zeros((rows, k * self.config.block_in), np.float32))
                 jax.block_until_ready(self._step(zt, z, self._spectrum)[0])
                 k *= 2
         for target, name in ((self._acceptor, "totton-serve-accept"),
