@@ -43,6 +43,20 @@ async def test_pages_render_ja_via_query(client):
     assert "システム状態" in await resp.text()
 
 
+async def test_serving_card_renders_both_locales(client):
+    """The serving-plane operator card (active streams, per-stream
+    rates/backlog/latency rendered from /api/status.serve) is part of
+    the index page in every locale."""
+    text_en = await (await client.get("/")).text()
+    assert "Serving plane" in text_en
+    assert "serve-streams-table" in text_en
+    for key in ("serve.none", "serve.col.latency", "serve.col.backlog"):
+        assert key in text_en, f"JS catalog missing {key}"
+    text_ja = await (await client.get("/?lang=ja")).text()
+    assert "サービングプレーン" in text_ja
+    assert "serve-streams-table" in text_ja
+
+
 async def test_locale_negotiation_accept_language(client):
     resp = await client.get("/settings",
                             headers={"Accept-Language": "ja-JP,ja;q=0.9"})

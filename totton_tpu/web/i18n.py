@@ -37,6 +37,19 @@ _EN = {
     "status.level": "Peak / RMS",
     "status.clipped": "Clipped samples",
     "status.refresh": "Refresh",
+    # serving plane card (totton-serve multi-stream server)
+    "serve.title": "Serving plane",
+    "serve.none": "No serving plane running",
+    "serve.streams": "Active streams",
+    "serve.accepted": "Accepted / finished",
+    "serve.steps": "Engine steps",
+    "serve.frames_out": "Frames out",
+    "serve.swaps": "Live swaps",
+    "serve.col.slot": "Slot",
+    "serve.col.frames": "Frames in / out",
+    "serve.col.backlog": "Backlog in / out",
+    "serve.col.latency": "Latency p50 / p95 (ms)",
+    "serve.col.throttles": "Throttles",
     # DSP controls
     "dsp.title": "DSP controls",
     "dsp.phase_minimum": "Minimum phase",
@@ -135,6 +148,18 @@ _JA = {
     "status.level": "ピーク / RMS",
     "status.clipped": "クリップサンプル数",
     "status.refresh": "更新",
+    "serve.title": "サービングプレーン",
+    "serve.none": "サービングプレーンは稼働していません",
+    "serve.streams": "アクティブストリーム数",
+    "serve.accepted": "受理 / 完了",
+    "serve.steps": "エンジンステップ数",
+    "serve.frames_out": "出力フレーム数",
+    "serve.swaps": "ライブスワップ数",
+    "serve.col.slot": "スロット",
+    "serve.col.frames": "フレーム 入力 / 出力",
+    "serve.col.backlog": "バックログ 入力 / 出力",
+    "serve.col.latency": "レイテンシ p50 / p95 (ms)",
+    "serve.col.throttles": "スロットル回数",
     "dsp.title": "DSP操作",
     "dsp.phase_minimum": "最小位相",
     "dsp.phase_linear": "直線位相",
@@ -217,7 +242,9 @@ _JS_KEYS = (
     "profiles.active_badge", "opra.no_results", "opra.preview", "opra.apply",
     "active.none", "dsp.restart_confirm", "sync.up_to_date",
     "sync.update_available", "sync.in_progress", "sync.none",
-    "upload.recommended_preamp",
+    "upload.recommended_preamp", "serve.none",
+    "serve.col.slot", "serve.col.frames", "serve.col.backlog",
+    "serve.col.latency", "serve.col.throttles",
 )
 
 
