@@ -139,6 +139,21 @@ class TestSelector:
                                 ratio=2, input_rate=352800)
         assert p.endswith("filter_44k_2x_2m_min_phase.json")
 
+    def test_low_latency_picks_lowest_taps(self, filter_dir):
+        (filter_dir / "filter_44k_2x_8000_min_phase.json").write_text("{}")
+        p = resolve_filter_path(filter_dir=str(filter_dir), phase="min",
+                                ratio=2, input_rate=352800, latency="low")
+        assert p.endswith("filter_44k_2x_8000_min_phase.json")
+        # Default stays the reference rule: highest taps.
+        p = resolve_filter_path(filter_dir=str(filter_dir), phase="min",
+                                ratio=2, input_rate=352800)
+        assert p.endswith("filter_44k_2x_2m_min_phase.json")
+
+    def test_unknown_latency_mode_rejected(self, filter_dir):
+        with pytest.raises(FilterSelectionError, match="latency"):
+            resolve_filter_path(filter_dir=str(filter_dir), ratio=2,
+                                input_rate=352800, latency="ultra")
+
     def test_family_by_divisibility(self, filter_dir):
         p = resolve_filter_path(filter_dir=str(filter_dir), phase="min",
                                 ratio=2, input_rate=384000)

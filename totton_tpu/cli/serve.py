@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["min", "minimum", "linear"],
                    help="filter phase (default: config.json's "
                         "filter.phaseType when --config is given, else min)")
+    p.add_argument("--latency", default="normal", choices=["normal", "low"],
+                   help="filter-bank latency mode: 'normal' picks the "
+                        "highest tap count, 'low' the lowest (bundled 8k "
+                        "bank: ~12 ms block accumulation instead of ~72 ms "
+                        "at 16x/44.1k, 237+ dB measured stopband)")
     p.add_argument("--channels", type=int, default=2,
                    help="channels per stream")
     p.add_argument("--max-streams", type=int, default=64,
@@ -121,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             path = resolve_filter_path(
                 filter_path=None, filter_dir=args.filter_dir, phase=phase,
-                ratio=args.ratio, input_rate=args.rate)
+                ratio=args.ratio, input_rate=args.rate,
+                latency=args.latency)
         return path, load_filter(path)
 
     startup_phase = "minimum" if phase in ("min", "minimum") else "linear"

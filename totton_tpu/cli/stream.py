@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "filter.phaseType when --config is given, else min)")
     p.add_argument("--ratio", type=int, default=1, choices=[1, 2, 4, 8, 16],
                    help="upsample ratio for auto lookup")
+    p.add_argument("--latency", default="normal", choices=["normal", "low"],
+                   help="filter-bank latency mode for auto lookup: "
+                        "'normal' picks the highest tap count (80k bank, "
+                        "~72 ms block accumulation at 16x/44.1k); 'low' "
+                        "picks the lowest (bundled 8k bank, ~12 ms, "
+                        "237+ dB measured stopband)")
     p.add_argument("--rate", type=int, help="input sample rate (Hz)")
     p.add_argument("--channels", type=int, default=2)
     p.add_argument("--format", default="s32",
@@ -226,6 +232,7 @@ def main(argv: list[str] | None = None) -> int:
                 phase=phase,
                 ratio=ratio,
                 input_rate=input_rate,
+                latency=args.latency,
             )
             loaded = load_filter(filter_path)
             print(f"Loaded filter: {filter_path} "
@@ -415,6 +422,7 @@ def main(argv: list[str] | None = None) -> int:
                 path = resolve_filter_path(
                     filter_path=None, filter_dir=args.filter_dir, phase=phase,
                     ratio=upsampler.ratio, input_rate=input_rate,
+                    latency=args.latency,
                 )
             try:
                 eq, desc = resolve_eq_response(

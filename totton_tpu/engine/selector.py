@@ -38,12 +38,21 @@ def resolve_filter_path(
     phase: str = "minimum",
     ratio: int = 2,
     input_rate: int = 44100,
+    latency: str = "normal",
 ) -> str:
     """Resolve which .json sidecar to load.
+
+    ``latency``: "normal" picks the highest tap count (the reference
+    rule — best attenuation); "low" picks the LOWEST tap count, i.e.
+    the short-filter bank whose smaller block size minimizes the
+    block-accumulation latency (live-monitoring use; the reference has
+    no such mode and carries >= 72 ms at its only geometry).
 
     Raises FilterSelectionError with a message mirroring the reference's
     error strings when nothing matches.
     """
+    if latency not in ("normal", "low"):
+        raise FilterSelectionError(f"Unknown latency mode: {latency}")
     if filter_path:
         if not os.path.exists(filter_path):
             raise FilterSelectionError(f"Filter file not found: {filter_path}")
@@ -76,7 +85,10 @@ def resolve_filter_path(
         if not (name.startswith(prefix) and name.endswith(suffix)):
             continue
         taps = _parse_taps_token(name[len(prefix) : len(name) - len(suffix)])
-        if taps > best_taps:
+        if taps <= 0:
+            continue
+        better = (taps < best_taps) if latency == "low" else (taps > best_taps)
+        if best_path is None or better:
             best_taps = taps
             best_path = full
 
