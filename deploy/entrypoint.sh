@@ -82,11 +82,16 @@ start_web() {
 
 start_serve() {
   # Multi-stream serving plane (totton_tpu/serve.py): N client streams
-  # on one batched engine step over a duplex socket each.
+  # on one batched engine step over a duplex socket each. The serving
+  # plane serves the ZMQ control protocol itself — RELOAD / PHASE_TYPE
+  # swap the shared spectrum under live listeners with per-stream
+  # crossfades (no restart).
   totton-serve --listen "${TOTTON_SERVE_LISTEN:-tcp-listen://0.0.0.0:9100}" \
     --rate "$RATE" --ratio "$RATIO" --channels "$CHANNELS" \
     --phase "$PHASE" --filter-dir "$FILTER_DIR" \
     --max-streams "${TOTTON_SERVE_MAX_STREAMS:-64}" \
+    --control-endpoint "$ZMQ_ENDPOINT" \
+    --config "$CONFIG_PATH" \
     --stats-path "${TOTTON_SERVE_STATS_PATH:-/tmp/totton_serve_stats.json}" &
   PIDS+=("$!")
 }
