@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--control-pub-endpoint", metavar="ENDPOINT",
                    help="control-event PUB endpoint (reload/phase events "
                         "with seq numbers + heartbeat)")
+    p.add_argument("--device-pcm", action="store_true",
+                   help="quantize the serve step's output to s16 ON the "
+                        "device, halving every stream's share of the "
+                        "device->host drain (s16-only serving: clients "
+                        "with other wire formats are rejected; bit-exact "
+                        "with the host conversion)")
     p.add_argument("--shard-serve", type=int, default=0, metavar="N",
                    help="shard the serve batch's slot rows across N "
                         "devices of the mesh (row-parallel, no "
@@ -187,7 +193,8 @@ def main(argv: list[str] | None = None) -> int:
             stats_path=args.stats_path,
             max_blocks_per_step=args.max_blocks_per_step,
             max_input_backlog_blocks=args.max_input_backlog,
-            swap_fade_frames=args.swap_fade, mesh=mesh)
+            swap_fade_frames=args.swap_fade, mesh=mesh,
+            device_pcm=args.device_pcm)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

@@ -316,9 +316,18 @@ class StreamServer:
         max_input_backlog_blocks: int = 32,
         swap_fade_frames: int = 0,
         mesh=None,
+        device_pcm: bool = False,
     ) -> None:
         self.config = OverlapSaveConfig.from_sidecar(filt.sidecar)
         self._filter = filt
+        # Device-PCM serving: quantize the batched step output to int16
+        # ON the device, halving every stream's share of the
+        # device->host drain (the serve plane's bandwidth bottleneck on
+        # tunneled hosts — avg_step_drain_ms in stats). s16-only: the
+        # acceptor rejects other wire formats. Fade steps fall back to
+        # the host float path and quantize with the bit-exact host twin
+        # (engine.StreamingUpsampler's device_pcm contract).
+        self.device_pcm = bool(device_pcm)
         self.sample_rate = sample_rate
         self.max_streams = max_streams
         self.channels = channels
@@ -440,6 +449,13 @@ class StreamServer:
                     "serve: rejecting stream (ch=%d rate=%d; serving "
                     "ch=%d rate=%d)", ch, rate, self.channels,
                     self.sample_rate)
+                with self.stats.lock:
+                    self.stats.rejected += 1
+                sock.close()
+                continue
+            if self.device_pcm and fmt is not PcmFormat.S16_LE:
+                log.warning("serve: rejecting stream (device-PCM serving "
+                            "is s16-only, client sent %s)", fmt)
                 with self.stats.lock:
                     self.stats.rejected += 1
                 sock.close()
@@ -613,7 +629,11 @@ class StreamServer:
                 if item is None:
                     break
                 flat = interleave(item)
-                if slot.fmt is None:
+                if flat.dtype == np.int16:
+                    # Device-PCM serving: samples are already final s16
+                    # values (bit-exact with float_to_pcm by contract).
+                    raw = flat.astype("<i2", copy=False).tobytes()
+                elif slot.fmt is None:
                     raw = flat.astype("<f4", copy=False).tobytes()
                 else:
                     raw = float_to_pcm(flat, slot.fmt)
@@ -913,6 +933,12 @@ class StreamServer:
                 out[:, :n] = (
                     olds[key][r0:r0 + self.channels, :n] * (1.0 - ramp)
                     + out[:, :n] * ramp)
+            if self.device_pcm and out.dtype != np.int16:
+                # Fade steps stayed float on device; quantize with the
+                # bit-exact host twin so the output dtype contract holds.
+                from totton_tpu.io.pcm import quantize_s16_host
+
+                out = quantize_s16_host(out)
             # Account the blocks BEFORE put() (rolled back on Full): if
             # the writer dequeued+decremented before a post-put increment,
             # the clamped decrement would leave a phantom block that never
@@ -997,6 +1023,13 @@ class StreamServer:
                 tj, xj = self._to_device(tails), self._to_device(x)
                 y_dev, _ = self._step(tj, xj, self._spectrum)
                 fades, served = self._dispatch_fades(tj, xj, served)
+                if self.device_pcm and not fades:
+                    # Elementwise on-device quantize (sharding-preserving)
+                    # so the drain moves int16. Fade steps keep float and
+                    # quantize on the host after mixing.
+                    from totton_tpu.ops import device_pcm as _dp
+
+                    y_dev = _dp.quantize_s16(y_dev)
                 inflight.append((y_dev, fades, served))
                 shape_key = (f"{x.shape[0] // self.channels}x"
                              f"{x.shape[1] // self.config.block_in}")
@@ -1085,7 +1118,12 @@ class StreamServer:
             while k <= self.max_blocks_per_step:
                 z = self._to_device(
                     np.zeros((rows, k * self.config.block_in), np.float32))
-                jax.block_until_ready(self._step(zt, z, self._spectrum)[0])
+                y0 = self._step(zt, z, self._spectrum)[0]
+                if self.device_pcm:
+                    from totton_tpu.ops import device_pcm as _dp
+
+                    y0 = _dp.quantize_s16(y0)
+                jax.block_until_ready(y0)
                 k *= 2
         for target, name in ((self._acceptor, "totton-serve-accept"),
                              (self._dispatcher, "totton-serve-dispatch")):
