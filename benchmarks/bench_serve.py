@@ -26,6 +26,10 @@ def main() -> int:
     ap.add_argument("--slots", default="8,64")
     ap.add_argument("--channels", type=int, default=2)
     ap.add_argument("--k-chain", type=int, default=20)
+    ap.add_argument("--bank", type=int, default=80000,
+                    choices=[80000, 8000],
+                    help="filter geometry: production 80k (fft 131072) "
+                         "or the low-latency 8k bank (fft 16384)")
     args = ap.parse_args()
 
     import jax
@@ -36,8 +40,12 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 
-    cfg = osv.OverlapSaveConfig(taps=80001, fft_size=131072,
-                                block_size=51072, ratio=16)
+    if args.bank == 80000:
+        cfg = osv.OverlapSaveConfig(taps=80001, fft_size=131072,
+                                    block_size=51072, ratio=16)
+    else:  # low-latency bank geometry (bench_latency.py rationale)
+        cfg = osv.OverlapSaveConfig(taps=8001, fft_size=16384,
+                                    block_size=8384, ratio=16)
     n = np.arange(cfg.taps) - (cfg.taps - 1) / 2
     h = np.sinc(n / 16) * np.kaiser(cfg.taps, 25.0)
     h *= 16 * 0.99 / h.sum()

@@ -1,0 +1,170 @@
+"""Full-stack serving e2e on the real chip: live control + drain A/B.
+
+Spawns the real totton-serve process (production 16x/80k-tap bank),
+drives N concurrent s16 client streams over loopback TCP, flips the
+phase live via ZMQ mid-stream (per-stream crossfade), and reports the
+server's own stats: steps_by_shape (adaptive width), per-stream latency
+percentiles, avg_step_drain_ms. With --ab-device-pcm it runs the same
+load twice — float drain vs on-device s16 drain — and prints the
+drain-time delta (the device->host bytes halve).
+
+  python -m benchmarks.bench_serve_e2e [--streams 8] [--seconds 1.0]
+      [--ab-device-pcm]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from totton_tpu.io.pcm import PcmFormat, float_to_pcm, interleave
+from totton_tpu.io.sockets import HEADER_BYTES, pack_header
+
+RATE = 44100
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _client(port, x, results, errors, i):
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=600)
+        s.settimeout(600)
+        s.sendall(pack_header(PcmFormat.S16_LE, 2, RATE))
+        hdr = b""
+        while len(hdr) < HEADER_BYTES:
+            hdr += s.recv(HEADER_BYTES - len(hdr))
+        raw = float_to_pcm(interleave(x), PcmFormat.S16_LE)
+        received = bytearray()
+
+        def pump():
+            step = 32768
+            for j in range(0, len(raw), step):
+                s.sendall(raw[j:j + step])
+            s.shutdown(socket.SHUT_WR)
+
+        t = threading.Thread(target=pump)
+        t.start()
+        while True:
+            got = s.recv(65536)
+            if not got:
+                break
+            received += got
+        t.join(timeout=600)
+        s.close()
+        results[i] = len(received) // 4  # s16 stereo frames
+    except Exception as e:  # noqa: BLE001
+        errors.append((i, e))
+
+
+def run_once(streams: int, seconds: float, device_pcm: bool,
+             repo: str) -> dict:
+    port = _free_port()
+    stats_path = f"/tmp/bench_serve_e2e_{port}.json"
+    endpoint = f"ipc:///tmp/bench_serve_e2e_{port}.sock"
+    cmd = [sys.executable, "-m", "totton_tpu.cli.serve",
+           "--listen", f"tcp-listen://127.0.0.1:{port}",
+           "--rate", str(RATE), "--ratio", "16",
+           "--filter-dir", os.path.join(repo, "data", "coefficients"),
+           "--max-streams", str(streams),
+           "--max-blocks-per-step", "4",
+           "--swap-fade", "4096",
+           "--control-endpoint", endpoint,
+           "--stats-path", stats_path,
+           "--duration", "3600"]
+    if device_pcm:
+        cmd.append("--device-pcm")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        from totton_tpu.control.client import DaemonClient
+
+        client = DaemonClient(endpoint=endpoint, timeout_ms=30000)
+        deadline = time.monotonic() + 1800  # warmup compiles
+        while time.monotonic() < deadline:
+            if client.ping():
+                break
+            time.sleep(1.0)
+        else:
+            proc.kill()
+            raise RuntimeError("server never served PING")
+
+        n = int(RATE * seconds)
+        rng = np.random.default_rng(1)
+        sigs = [(rng.normal(size=(2, n)) * 0.3).astype(np.float32)
+                for _ in range(streams)]
+        results: dict[int, int] = {}
+        errors: list = []
+        t0 = time.monotonic()
+        threads = [threading.Thread(target=_client,
+                                    args=(port, sigs[i], results, errors, i))
+                   for i in range(streams)]
+        for t in threads:
+            t.start()
+        # Live phase flip mid-stream (the round-5 control plane).
+        time.sleep(max(0.3, seconds / 3))
+        r = client.set_phase_type("linear")
+        assert r.ok, r
+        for t in threads:
+            t.join(timeout=900)
+        wall = time.monotonic() - t0
+        assert not errors, errors
+        for i, frames in results.items():
+            assert frames == sigs[i].shape[1] * 16, (i, frames)
+        time.sleep(0.7)  # final stats flush
+        stats = json.loads(open(stats_path).read())
+        out = {
+            "device_pcm": device_pcm,
+            "streams": streams,
+            "wall_s": round(wall, 2),
+            "frames_out_total": sum(results.values()),
+            "steps": stats["steps"],
+            "steps_by_shape": stats["steps_by_shape"],
+            "spectrum_swaps": stats["spectrum_swaps"],
+            "avg_step_drain_ms": stats["avg_step_drain_ms"],
+        }
+        assert client.shutdown().ok
+        proc.wait(timeout=120)
+        return out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=1.0)
+    ap.add_argument("--ab-device-pcm", action="store_true")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    a = run_once(args.streams, args.seconds, False, repo)
+    print(json.dumps(a), flush=True)
+    if args.ab_device_pcm:
+        b = run_once(args.streams, args.seconds, True, repo)
+        print(json.dumps(b), flush=True)
+        if a["avg_step_drain_ms"] and b["avg_step_drain_ms"]:
+            print(f"drain A/B: float {a['avg_step_drain_ms']} ms -> "
+                  f"s16 {b['avg_step_drain_ms']} ms "
+                  f"({100 * (b['avg_step_drain_ms'] / a['avg_step_drain_ms'] - 1):+.0f}%)",
+                  flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

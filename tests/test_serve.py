@@ -1102,6 +1102,34 @@ class TestInputBound:
                          max_input_backlog_blocks=8)
 
 
+def test_low_latency_bank_serves_exact(rng):
+    """The bundled --latency low bank (8k taps, fft 16384) serves
+    streams exactly like any other geometry."""
+    import pathlib
+
+    from totton_tpu.filters.sidecar import load_filter
+
+    coeff = pathlib.Path(__file__).parent.parent / "data" / "coefficients"
+    path = coeff / "filter_44k_16x_8000_min_phase.json"
+    if not path.is_file():
+        pytest.skip("low-latency bank not bundled")
+    lf = load_filter(str(path))
+    port = _free_port()
+    srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                       max_streams=4, channels=2, max_blocks_per_step=2)
+    srv.start()
+    try:
+        n = 3 * srv.config.block_in + 101
+        x = (rng.normal(size=(2, n)) * 0.3).astype(np.float32)
+        y, out_rate = _client_roundtrip(port, x)
+        assert out_rate == RATE * 16
+        ref = upsample_signal(x, lf)
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+    finally:
+        srv.stop()
+
+
 def test_per_stream_latency_percentiles(rng):
     """The stats surface carries an input-ready -> output-queued latency
     distribution per stream (p50/p95/max)."""
