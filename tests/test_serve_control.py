@@ -91,6 +91,106 @@ def _fade_expectation(ref_old, ref_new, p):
     return expect
 
 
+def test_follower_fleet_replays_leader_phase_flip(phase_filter_dir,
+                                                  tmp_path):
+    """Fleet deployment: a follower serve process replays the leader's
+    published PHASE_TYPE event on its own serving plane — one control
+    surface for N serve hosts, each with its own per-stream crossfades."""
+    lead_port, fol_port = _free_port(), _free_port()
+    endpoint = f"ipc://{tmp_path}/lead_ctl.sock"
+    pub = f"ipc://{tmp_path}/lead_pub.sock"
+    fol_stats = tmp_path / "fol_stats.json"
+    common = [sys.executable, "-m", "totton_tpu.cli.serve",
+              "--rate", str(RATE), "--ratio", "2",
+              "--filter-dir", str(phase_filter_dir),
+              "--max-streams", "4", "--swap-fade", str(FADE),
+              "--duration", "600"]
+    leader = subprocess.Popen(
+        common + ["--listen", f"tcp-listen://127.0.0.1:{lead_port}",
+                  "--control-endpoint", endpoint,
+                  "--control-pub-endpoint", pub],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    follower = subprocess.Popen(
+        common + ["--listen", f"tcp-listen://127.0.0.1:{fol_port}",
+                  "--control-follow", pub,
+                  "--stats-path", str(fol_stats)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        client = DaemonClient(endpoint=endpoint, timeout_ms=30000)
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            if client.ping():
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("leader never served PING")
+        # Follower ready = its listener answers the stream header.
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            try:
+                probe = socket.create_connection(
+                    ("127.0.0.1", fol_port), timeout=1)
+                probe.settimeout(10)
+                probe.sendall(pack_header(None, 2, RATE))
+                if probe.recv(HEADER_BYTES):
+                    probe.close()
+                    break
+                probe.close()
+            except OSError:
+                pass
+            time.sleep(0.3)
+        else:
+            pytest.fail("follower never accepted")
+
+        lf_min = load_filter(str(
+            phase_filter_dir / "filter_44k_2x_2000_min_phase.json"))
+        lf_lin = load_filter(str(
+            phase_filter_dir / "filter_44k_2x_2000_linear_phase.json"))
+        block_size = lf_min.sidecar.fft_size - lf_min.sidecar.taps + 1
+        block_in = block_size // 2
+        rng = np.random.default_rng(11)
+        x = (rng.normal(size=(2, 60 * block_in)) * 0.3).astype(np.float32)
+
+        swap_gate = threading.Event()
+        results: dict[int, np.ndarray] = {}
+        errors: list = []
+        t = threading.Thread(target=_stream_client, args=(
+            fol_port, x, swap_gate, results, errors, 0))
+        t.start()
+        time.sleep(1.0)  # client mid-stream on the FOLLOWER
+        assert client.set_phase_type("linear").ok
+        time.sleep(1.0)  # PUB delivery + follower reload
+        swap_gate.set()
+        t.join(timeout=300)
+        assert not errors, errors
+
+        y = results[0]
+        assert y.shape == (2, x.shape[1] * 2)
+        ref_old = upsample_signal(x, lf_min)
+        ref_new = upsample_signal(x, lf_lin)
+        best_err, best_p = np.inf, None
+        for p in range(0, y.shape[1] + 1, block_size):
+            expect = _fade_expectation(ref_old, ref_new, p)
+            err = float(np.max(np.abs(expect - y)))
+            if err < best_err:
+                best_err, best_p = err, p
+        assert best_err < 5e-4, (best_p, best_err)
+        assert 0 < best_p < y.shape[1], best_p
+
+        st = json.loads(fol_stats.read_text())
+        assert st["spectrum_swaps"] == 1
+        # Leader SHUTDOWN propagates to the follower over PUB.
+        assert client.shutdown().ok
+        assert leader.wait(timeout=120) == 0
+        assert follower.wait(timeout=120) == 0
+        assert "Live serve reload" in follower.stdout.read()
+    finally:
+        for proc in (leader, follower):
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+
+
 def test_live_reload_under_8_concurrent_streams(phase_filter_dir, tmp_path):
     cfg = tmp_path / "config.json"
     cfg.write_text(json.dumps({"filter": {"phaseType": "minimum"}}))

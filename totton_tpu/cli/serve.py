@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--control-pub-endpoint", metavar="ENDPOINT",
                    help="control-event PUB endpoint (reload/phase events "
                         "with seq numbers + heartbeat)")
+    p.add_argument("--control-follow", metavar="ENDPOINT",
+                   help="follow a leader serve's PUB endpoint and replay "
+                        "its RELOAD/PHASE_TYPE/SHUTDOWN events on this "
+                        "serving plane (fleet deployment: one leader + N "
+                        "followers behind a load balancer, one control "
+                        "surface)")
     p.add_argument("--device-pcm", action="store_true",
                    help="quantize the serve step's output to s16 ON the "
                         "device, halving every stream's share of the "
@@ -203,9 +209,9 @@ def main(argv: list[str] | None = None) -> int:
     # reference's command set; its shipped daemon is a counter stub and
     # RELOAD restarts the container — SURVEY.md L1 note).
     daemon = None
-    if args.control_endpoint:
-        from totton_tpu.control.daemon import ControlDaemon
-
+    follower = None
+    is_leader = bool(args.control_endpoint)
+    if args.control_endpoint or args.control_follow:
         current_phase = {"value": startup_phase}
 
         def reload_serving(phase: str) -> dict:
@@ -242,31 +248,53 @@ def main(argv: list[str] | None = None) -> int:
             # reported phase stays what the plane is actually serving.
             extra = reload_serving(ph)
             current_phase["value"] = ph
-            if args.config_path:
+            # Only the leader persists: a follower fleet may share the
+            # config file and replayed events must not race the write.
+            if args.config_path and is_leader:
                 from totton_tpu.web.services.config import save_config_updates
 
                 save_config_updates({"filter": {"phaseType": ph}},
                                     Path(args.config_path))
             return extra
 
-        daemon = ControlDaemon(
-            endpoint=args.control_endpoint,
-            pub_endpoint=args.control_pub_endpoint,
-            on_reload=on_reload,
-            on_soft_reset=server.soft_reset,
-            on_phase_change=on_phase_change,
-            stats_path=args.stats_path,
-            phase_type=current_phase["value"],
-        )
-        daemon.start()
-        print(f"Control endpoint: {args.control_endpoint}", file=sys.stderr)
+        if is_leader:
+            from totton_tpu.control.daemon import ControlDaemon
 
-        import threading
+            daemon = ControlDaemon(
+                endpoint=args.control_endpoint,
+                pub_endpoint=args.control_pub_endpoint,
+                on_reload=on_reload,
+                on_soft_reset=server.soft_reset,
+                on_phase_change=on_phase_change,
+                stats_path=args.stats_path,
+                phase_type=current_phase["value"],
+            )
+            daemon.start()
+            print(f"Control endpoint: {args.control_endpoint}",
+                  file=sys.stderr)
 
-        threading.Thread(
-            target=lambda: (daemon.wait_for_shutdown(),
-                            server.request_stop()),
-            daemon=True, name="totton-serve-shutdown-watch").start()
+            import threading
+
+            threading.Thread(
+                target=lambda: (daemon.wait_for_shutdown(),
+                                server.request_stop()),
+                daemon=True, name="totton-serve-shutdown-watch").start()
+        if args.control_follow:
+            # Fleet follower: replay the leader's published control
+            # events on this serving plane (reload/phase swaps land with
+            # this process's own per-stream crossfades).
+            from totton_tpu.control.follower import ControlFollower
+
+            follower = ControlFollower(
+                args.control_follow,
+                on_reload=on_reload,
+                on_soft_reset=server.soft_reset,
+                on_phase_change=on_phase_change,
+                on_shutdown=server.request_stop,
+            )
+            follower.start()
+            print(f"Control follower of {args.control_follow}",
+                  file=sys.stderr)
 
     stop_count = {"n": 0}
 
@@ -296,6 +324,8 @@ def main(argv: list[str] | None = None) -> int:
     server.stop()
     if daemon is not None:
         daemon.stop()
+    if follower is not None:
+        follower.stop()
     j = server.stats.to_json(0, [])
     print(f"Served {j['streams']['accepted']} streams "
           f"({j['steps']} steps, {j['frames_out']} frames out, "

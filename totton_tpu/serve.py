@@ -906,6 +906,9 @@ class StreamServer:
         t0 = time.monotonic()
         try:
             y = np.asarray(y_dev)
+            if os.environ.get("TOTTON_SERVE_DEBUG_TIMING"):
+                log.warning("timing: drain %.1f ms (y %s %s)",
+                            (time.monotonic() - t0) * 1e3, y.shape, y.dtype)
             olds = {key: np.asarray(h) for key, h in fades.items()}
         except Exception:
             # Device fetch failed: these streams' audio now has a hole —
@@ -1020,9 +1023,14 @@ class StreamServer:
                     failures = 0
                     continue
                 x, tails, served = batch
+                _t0 = time.monotonic()
                 tj, xj = self._to_device(tails), self._to_device(x)
                 y_dev, _ = self._step(tj, xj, self._spectrum)
+                _t1 = time.monotonic()
                 fades, served = self._dispatch_fades(tj, xj, served)
+                if os.environ.get("TOTTON_SERVE_DEBUG_TIMING"):
+                    log.warning("timing: dispatch %.1f ms (x %s)",
+                                (_t1 - _t0) * 1e3, x.shape)
                 if self.device_pcm and not fades:
                     # Elementwise on-device quantize (sharding-preserving)
                     # so the drain moves int16. Fade steps keep float and
@@ -1123,7 +1131,12 @@ class StreamServer:
                     from totton_tpu.ops import device_pcm as _dp
 
                     y0 = _dp.quantize_s16(y0)
-                jax.block_until_ready(y0)
+                # Fetch (not just block_until_ready): the first LARGE
+                # device->host transfer in a process pays a one-time
+                # channel setup measured at 60-200 s on the tunneled
+                # runtime — it must land here, not on the first client's
+                # first block.
+                np.asarray(y0)
                 k *= 2
         for target, name in ((self._acceptor, "totton-serve-accept"),
                              (self._dispatcher, "totton-serve-dispatch")):
