@@ -25,11 +25,8 @@ import argparse
 import os
 import signal
 import sys
-from pathlib import Path
 
 from totton_tpu.engine.selector import FilterSelectionError, resolve_filter_path
-from totton_tpu.eq.apo import parse_eq_file
-from totton_tpu.eq.biquad import profile_response_for_fft
 from totton_tpu.filters.sidecar import load_filter
 
 
@@ -117,18 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    # Startup phase: explicit --phase > config.json filter.phaseType > min
-    # (cli/stream.py convention; a PHASE_TYPE_SET persisted into config
-    # must survive a server restart).
-    phase = args.phase
-    if phase is None and args.config_path:
-        from totton_tpu.web.services.config import load_config
+    from totton_tpu.control.wiring import (
+        persist_phase,
+        read_config_phase,
+        resolve_eq_response,
+        resolve_startup_phase,
+    )
 
-        settings = load_config(Path(args.config_path))
-        if settings.filter and settings.filter.phase_type in (
-                "min", "minimum", "linear"):
-            phase = settings.filter.phase_type
-    phase = phase or "min"
+    startup_phase = resolve_startup_phase(args.phase, args.config_path)
 
     def resolve_filter(phase: str):
         """Explicitly pinned --filter stays pinned while the phase is
@@ -142,36 +135,18 @@ def main(argv: list[str] | None = None) -> int:
                 latency=args.latency)
         return path, load_filter(path)
 
-    startup_phase = "minimum" if phase in ("min", "minimum") else "linear"
     try:
         if args.filter:
             path, loaded = args.filter, load_filter(args.filter)
         else:
-            path, loaded = resolve_filter(phase)
+            path, loaded = resolve_filter(startup_phase)
     except (FilterSelectionError, ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
-    def resolve_eq_response(fft_size: int, output_rate: int):
-        """--eq-profile wins; otherwise config.json's
-        eqEnabled/eqProfilePath — re-read on every RELOAD so web-driven
-        EQ activation reaches the live serving plane."""
-        eq_path = args.eq_profile
-        if not eq_path and args.config_path:
-            from totton_tpu.web.services.config import load_config
-
-            settings = load_config(Path(args.config_path))
-            if settings.eq_enabled and settings.eq_profile_path:
-                eq_path = settings.eq_profile_path
-        if not eq_path:
-            return None, None
-        profile = parse_eq_file(eq_path)
-        return profile_response_for_fft(profile, fft_size, output_rate), (
-            f"{eq_path} ({profile.active_band_count} active bands, "
-            f"preamp {profile.preamp_db} dB)")
-
     try:
         eq, eq_desc = resolve_eq_response(
+            args.eq_profile, args.config_path,
             loaded.sidecar.fft_size, args.rate * loaded.ratio)
     except (OSError, ValueError) as e:
         if args.eq_profile:
@@ -186,7 +161,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.shard_serve:
         from totton_tpu.parallel import make_mesh
 
-        mesh = make_mesh(n_channel=args.shard_serve, n_time=1)
+        try:
+            mesh = make_mesh(n_channel=args.shard_serve, n_time=1)
+        except ValueError as e:
+            print(f"error: --shard-serve: {e}", file=sys.stderr)
+            return 2
         print(f"Sharded serving: slot rows over {args.shard_serve} "
               "devices", file=sys.stderr)
 
@@ -218,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             pth, lf = resolve_filter(phase)
             try:
                 eq_resp, desc = resolve_eq_response(
+                    args.eq_profile, args.config_path,
                     lf.sidecar.fft_size, args.rate * lf.ratio)
             except (OSError, ValueError) as e:
                 print(f"Live reload: EQ skipped ({e})", file=sys.stderr)
@@ -228,18 +208,14 @@ def main(argv: list[str] | None = None) -> int:
             return {}
 
         def on_reload() -> dict:
-            if args.config_path:
-                from totton_tpu.web.services.config import load_config
-
-                settings = load_config(Path(args.config_path))
-                ph = settings.filter.phase_type if settings.filter else None
-                if ph in ("min", "minimum"):
-                    ph = "minimum"
-                if ph in ("minimum", "linear") \
-                        and ph != current_phase["value"]:
-                    current_phase["value"] = ph
-                    if daemon is not None:
-                        daemon.phase_type = ph
+            # config.json is the durable truth: RELOAD adopts its
+            # filter.phaseType (the settings page PATCHes config then
+            # RELOADs).
+            ph = read_config_phase(args.config_path)
+            if ph is not None and ph != current_phase["value"]:
+                current_phase["value"] = ph
+                if daemon is not None:
+                    daemon.phase_type = ph
             return reload_serving(current_phase["value"])
 
         def on_phase_change(ph: str) -> dict:
@@ -248,13 +224,7 @@ def main(argv: list[str] | None = None) -> int:
             # reported phase stays what the plane is actually serving.
             extra = reload_serving(ph)
             current_phase["value"] = ph
-            # Only the leader persists: a follower fleet may share the
-            # config file and replayed events must not race the write.
-            if args.config_path and is_leader:
-                from totton_tpu.web.services.config import save_config_updates
-
-                save_config_updates({"filter": {"phaseType": ph}},
-                                    Path(args.config_path))
+            persist_phase(ph, args.config_path, is_leader)
             return extra
 
         if is_leader:
@@ -330,6 +300,13 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Served {j['streams']['accepted']} streams "
           f"({j['steps']} steps, {j['frames_out']} frames out, "
           f"{j['spectrum_swaps']} live swaps)", file=sys.stderr)
+    if server.failed:
+        # Persistent dispatcher failure killed the serving plane; a
+        # clean exit here would hide it from supervisors (systemd
+        # Restart=on-failure, the entrypoint's `wait -n`).
+        print("error: serving stopped on persistent dispatcher failure",
+              file=sys.stderr)
+        return 1
     print("Serving stopped", file=sys.stderr)
     return 0
 

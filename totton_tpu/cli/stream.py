@@ -24,8 +24,6 @@ import numpy as np
 
 from totton_tpu.engine.selector import FilterSelectionError, resolve_filter_path
 from totton_tpu.engine.upsampler import StreamingUpsampler
-from totton_tpu.eq.apo import parse_eq_file
-from totton_tpu.eq.biquad import profile_response_for_fft
 from totton_tpu.filters.sidecar import load_filter
 from totton_tpu.io.devices import open_sink, open_source
 from totton_tpu.io.pcm import parse_format
@@ -210,18 +208,17 @@ def main(argv: list[str] | None = None) -> int:
         print("error: input rate unknown; pass --rate", file=sys.stderr)
         return 2
 
-    # Startup phase: explicit --phase > config.json filter.phaseType > min.
-    # Without this, a PHASE_TYPE_SET persisted into config would silently
-    # revert on process restart (the reference flaw the persistence fixes).
-    phase = args.phase
-    if phase is None and args.config_path:
-        from totton_tpu.web.services.config import load_config
+    # Startup phase: explicit --phase > config.json filter.phaseType > min
+    # (shared rule: a PHASE_TYPE_SET persisted into config must survive a
+    # restart — control/wiring.py).
+    from totton_tpu.control.wiring import (
+        persist_phase,
+        read_config_phase,
+        resolve_startup_phase,
+    )
+    from totton_tpu.control.wiring import resolve_eq_response as _resolve_eq
 
-        settings = load_config(Path(args.config_path))
-        if settings.filter and settings.filter.phase_type in (
-                "min", "minimum", "linear"):
-            phase = settings.filter.phase_type
-    phase = phase or "min"
+    phase = resolve_startup_phase(args.phase, args.config_path)
 
     ratio = args.ratio
     try:
@@ -256,23 +253,12 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     def resolve_eq_response(fft_size: int, output_rate: int):
-        """EQ baked into the filter spectrum: --eq-profile wins; otherwise
-        config.json's eqEnabled/eqProfilePath (the path the reference web
-        UI writes on apply/activate, SURVEY.md §3.4) — re-read on every
-        RELOAD so web-driven EQ swaps reach the live engine."""
-        eq_path = args.eq_profile
-        if not eq_path and args.config_path:
-            from totton_tpu.web.services.config import load_config
-
-            settings = load_config(Path(args.config_path))
-            if settings.eq_enabled and settings.eq_profile_path:
-                eq_path = settings.eq_profile_path
-        if not eq_path:
-            return None, None
-        profile = parse_eq_file(eq_path)
-        return profile_response_for_fft(profile, fft_size, output_rate), (
-            f"{eq_path} ({profile.active_band_count} active bands, "
-            f"preamp {profile.preamp_db} dB)")
+        """EQ baked into the filter spectrum (shared rule,
+        control/wiring.py): --eq-profile wins; otherwise config.json's
+        eqEnabled/eqProfilePath — re-read on every RELOAD so web-driven
+        EQ swaps reach the live engine."""
+        return _resolve_eq(args.eq_profile, args.config_path,
+                           fft_size, output_rate)
 
     try:
         eq_response, eq_desc = resolve_eq_response(
@@ -405,8 +391,7 @@ def main(argv: list[str] | None = None) -> int:
         # pending/FIFO audio that engine.reset() flushes and a bare
         # upsampler.reset() would leave stale.
         upsampler = getattr(engine, "upsampler", engine)
-        current_phase = {"value": "minimum" if phase in ("min", "minimum")
-                         else "linear"}
+        current_phase = {"value": phase}  # already normalized
 
         startup_phase = current_phase["value"]
 
@@ -456,23 +441,20 @@ def main(argv: list[str] | None = None) -> int:
             # filter.phaseType (the settings page PATCHes config then
             # RELOADs), keeping the daemon's reported phase in sync.
             if args.config_path:
-                from totton_tpu.web.services.config import load_config
-
-                settings = load_config(Path(args.config_path))
-                phase = settings.filter.phase_type if settings.filter else None
-                if phase in ("min", "minimum"):
-                    phase = "minimum"
-                if phase in ("minimum", "linear") \
-                        and phase != current_phase["value"]:
-                    current_phase["value"] = phase
+                ph = read_config_phase(args.config_path)
+                if ph is not None and ph != current_phase["value"]:
+                    current_phase["value"] = ph
                     if daemon is not None:
-                        daemon.phase_type = phase
+                        daemon.phase_type = ph
                 # alsa.dither is live too: the web settings toggle writes
                 # config then RELOADs, so swap the sink's ditherer here
                 # (round-2 advisor finding: the toggle looked live but
                 # only took effect at container restart).
                 # In device-PCM mode the ENGINE owns quantization, so the
                 # toggle targets it; otherwise the sink.
+                from totton_tpu.web.services.config import load_config
+
+                settings = load_config(Path(args.config_path))
                 if settings.alsa and settings.alsa.dither is not None:
                     quantizer = (upsampler if device_pcm_on else sink)
                     if quantizer.set_dither(bool(settings.alsa.dither)):
@@ -489,14 +471,8 @@ def main(argv: list[str] | None = None) -> int:
             extra = reload_filter(phase, apply_at_step)
             current_phase["value"] = phase
             # Persist so the next RELOAD / restart keeps this phase
-            # (the reference's PHASE_TYPE_SET silently reverts on restart).
-            # Only the leader writes: config.json may be a shared file and
-            # followers replaying the published event must not race it.
-            if args.config_path and is_leader:
-                from totton_tpu.web.services.config import save_config_updates
-
-                save_config_updates({"filter": {"phaseType": phase}},
-                                    Path(args.config_path))
+            # (shared leader-only rule, control/wiring.py).
+            persist_phase(phase, args.config_path, is_leader)
             return extra
 
         if is_leader:

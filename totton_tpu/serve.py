@@ -411,6 +411,9 @@ class StreamServer:
         self._pending_spectrum = None
         self._pending_reset = False
         self._stop = threading.Event()
+        #: set when the dispatcher stopped the server on persistent
+        #: failure (the CLI exits nonzero on it)
+        self.failed = False
         self._srv: socket.socket | None = None
         self._threads: list[threading.Thread] = []
         #: wake the dispatcher when any slot becomes ready
@@ -1023,21 +1026,34 @@ class StreamServer:
                     failures = 0
                     continue
                 x, tails, served = batch
-                _t0 = time.monotonic()
-                tj, xj = self._to_device(tails), self._to_device(x)
-                y_dev, _ = self._step(tj, xj, self._spectrum)
-                _t1 = time.monotonic()
-                fades, served = self._dispatch_fades(tj, xj, served)
-                if os.environ.get("TOTTON_SERVE_DEBUG_TIMING"):
-                    log.warning("timing: dispatch %.1f ms (x %s)",
-                                (_t1 - _t0) * 1e3, x.shape)
-                if self.device_pcm and not fades:
-                    # Elementwise on-device quantize (sharding-preserving)
-                    # so the drain moves int16. Fade steps keep float and
-                    # quantize on the host after mixing.
-                    from totton_tpu.ops import device_pcm as _dp
+                try:
+                    _t0 = time.monotonic()
+                    tj, xj = self._to_device(tails), self._to_device(x)
+                    y_dev, _ = self._step(tj, xj, self._spectrum)
+                    _t1 = time.monotonic()
+                    fades, served = self._dispatch_fades(tj, xj, served)
+                    if os.environ.get("TOTTON_SERVE_DEBUG_TIMING"):
+                        log.warning("timing: dispatch %.1f ms (x %s)",
+                                    (_t1 - _t0) * 1e3, x.shape)
+                    if self.device_pcm and not fades:
+                        # Elementwise on-device quantize (sharding-
+                        # preserving) so the drain moves int16. Fade
+                        # steps keep float and quantize on the host
+                        # after mixing.
+                        from totton_tpu.ops import device_pcm as _dp
 
-                    y_dev = _dp.quantize_s16(y_dev)
+                        y_dev = _dp.quantize_s16(y_dev)
+                except Exception:
+                    # The gathered slots' pending_steps were already
+                    # incremented and their input consumed; without this
+                    # rollback a fault here would leak them forever
+                    # (never released, never EOF-finished, drain() never
+                    # completes) — the outer handler only walks entries
+                    # that made it into inflight.
+                    for slot, *_rest in served:
+                        slot.pending_steps -= 1
+                        self._cut(slot, "step dispatch failed")
+                    raise
                 inflight.append((y_dev, fades, served))
                 shape_key = (f"{x.shape[0] // self.channels}x"
                              f"{x.shape[1] // self.config.block_in}")
@@ -1071,6 +1087,7 @@ class StreamServer:
                 if failures >= 3:
                     log.error("serve: dispatcher failing persistently; "
                               "stopping server")
+                    self.failed = True
                     self._stop.set()
         while inflight:
             try:
