@@ -1031,6 +1031,116 @@ class TestDevicePcmServing:
             srv.stop()
 
 
+class TestDispatchFaultInjection:
+    """Device faults during the step dispatch: per-stream rollback on
+    transients, visible failure when persistent (serve.py dispatcher
+    guard — the chaos tests never inject an actual device fault)."""
+
+    def test_transient_fault_cuts_stream_and_recycles_slot(self, rng):
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=2, channels=2)
+        srv.start()
+        try:
+            real_step = srv._step
+            boom = {"n": 0}
+
+            def failing_step(t, x, s):
+                boom["n"] += 1
+                raise RuntimeError("injected device fault")
+
+            srv._step = failing_step
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            s.settimeout(30)
+            s.sendall(pack_header(None, 2, RATE))
+            hdr = b""
+            while len(hdr) < HEADER_BYTES:
+                hdr += s.recv(HEADER_BYTES - len(hdr))
+            x = (rng.normal(size=(2, 2 * srv.config.block_in)) * 0.3
+                 ).astype(np.float32)
+            s.sendall(interleave(x).astype("<f4").tobytes())
+            # The faulted stream is cut (connection closed by server).
+            deadline = time.monotonic() + 30
+            cut = False
+            while time.monotonic() < deadline:
+                try:
+                    got = s.recv(65536)
+                except OSError:
+                    cut = True
+                    break
+                if not got:
+                    cut = True
+                    break
+            assert cut, "faulted stream was never cut"
+            s.close()
+            assert boom["n"] >= 1
+            srv._step = real_step  # fault clears before 3 strikes
+
+            # No leak: the slot recycles (pending_steps rolled back).
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline:
+                with srv._slot_lock:
+                    if len(srv._free) == 2:
+                        break
+                time.sleep(0.05)
+            with srv._slot_lock:
+                assert len(srv._free) == 2
+            assert all(sl.pending_steps == 0 for sl in srv.slots)
+            assert not srv.failed
+
+            # The server still serves a fresh stream exactly.
+            x2 = (rng.normal(size=(2, 1500)) * 0.3).astype(np.float32)
+            y, _ = _client_roundtrip(port, x2)
+            np.testing.assert_allclose(y, upsample_signal(x2, lf),
+                                       rtol=1e-5, atol=1e-6)
+        finally:
+            srv.stop()
+
+    def test_persistent_fault_stops_server_visibly(self, rng):
+        lf = _filter()
+        port = _free_port()
+        srv = StreamServer(lf, f"tcp-listen://127.0.0.1:{port}", RATE,
+                           max_streams=2, channels=2)
+        srv.start()
+        try:
+            def always_failing(t, x, s):
+                raise RuntimeError("injected persistent fault")
+
+            srv._step = always_failing
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            s.sendall(pack_header(None, 2, RATE))
+            hdr = b""
+            while len(hdr) < HEADER_BYTES:
+                hdr += s.recv(HEADER_BYTES - len(hdr))
+            x = (rng.normal(size=(2, 5 * srv.config.block_in)) * 0.3
+                 ).astype(np.float32)
+            # Keep feeding so the dispatcher keeps hitting the fault
+            # (each failure cuts the stream; reconnect to re-trigger).
+            for _ in range(5):
+                try:
+                    s.sendall(interleave(x).astype("<f4").tobytes())
+                except OSError:
+                    pass
+                if srv._stop.wait(timeout=2.0):
+                    break
+                try:
+                    s.close()
+                    s = socket.create_connection(("127.0.0.1", port),
+                                                 timeout=5)
+                    s.sendall(pack_header(None, 2, RATE))
+                except OSError:
+                    break
+            assert srv._stop.wait(timeout=30), "server never stopped"
+            assert srv.failed
+            try:
+                s.close()
+            except OSError:
+                pass
+        finally:
+            srv.stop()
+
+
 class TestInputBound:
     def test_flooding_nonreading_client_is_bounded_and_isolated(self, rng):
         """A hostile client that sends fast and never reads its output

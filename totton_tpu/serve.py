@@ -982,17 +982,28 @@ class StreamServer:
         for slot in self.slots:
             if slot.sock is None or slot.finished:
                 continue
-            if not slot.eof or slot.pending_steps > 0:
+            if slot.pending_steps > 0:
                 continue
-            with slot.buf_lock:
-                empty = slot.buf.shape[1] == 0
-            if empty or slot.flushed:
-                slot.finished = True
-                try:
-                    slot.out.put_nowait(None)  # writer drains then detaches
-                except queue.Full:
-                    slot.finished = False  # stalled writer: cut, retry
-                    self._cut(slot, "EOF finish blocked by stalled writer")
+            if slot.closing.is_set():
+                # CUT stream: finish unconditionally — its leftover input
+                # backlog will never be consumed (ready() is false), and
+                # without the sentinel a writer parked on an EMPTY queue
+                # (stream cut before any output) would never detach and
+                # the slot would leak forever.
+                pass
+            else:
+                if not slot.eof:
+                    continue
+                with slot.buf_lock:
+                    empty = slot.buf.shape[1] == 0
+                if not (empty or slot.flushed):
+                    continue
+            slot.finished = True
+            try:
+                slot.out.put_nowait(None)  # writer drains then detaches
+            except queue.Full:
+                slot.finished = False  # stalled writer: cut, retry
+                self._cut(slot, "EOF finish blocked by stalled writer")
 
     def _dispatcher(self) -> None:
         depth = 2
@@ -1023,7 +1034,12 @@ class StreamServer:
                         last_stats = now
                     if self._kick.wait(timeout=0.05):
                         self._kick.clear()
-                    failures = 0
+                    # NB: failures does NOT reset here — idle iterations
+                    # say nothing about the device. Only a successful
+                    # dispatch clears the strike count, so a persistent
+                    # fault that cuts each client (going idle in
+                    # between) still trips the breaker instead of
+                    # cutting every future client forever.
                     continue
                 x, tails, served = batch
                 try:
