@@ -71,7 +71,7 @@ def _client(port, x, results, errors, i):
 
 
 def run_once(streams: int, seconds: float, device_pcm: bool,
-             repo: str) -> dict:
+             repo: str, depth: int = 4) -> dict:
     port = _free_port()
     stats_path = f"/tmp/bench_serve_e2e_{port}.json"
     endpoint = f"ipc:///tmp/bench_serve_e2e_{port}.sock"
@@ -80,7 +80,7 @@ def run_once(streams: int, seconds: float, device_pcm: bool,
            "--rate", str(RATE), "--ratio", "16",
            "--filter-dir", os.path.join(repo, "data", "coefficients"),
            "--max-streams", str(streams),
-           "--max-blocks-per-step", "4",
+           "--max-blocks-per-step", str(depth),
            "--swap-fade", "4096",
            "--control-endpoint", endpoint,
            "--stats-path", stats_path,
@@ -149,14 +149,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=1.0)
+    ap.add_argument("--depth", type=int, default=4,
+                    help="--max-blocks-per-step (1 gives the most steps "
+                         "for a stable drain average)")
     ap.add_argument("--ab-device-pcm", action="store_true")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    a = run_once(args.streams, args.seconds, False, repo)
+    a = run_once(args.streams, args.seconds, False, repo, depth=args.depth)
     print(json.dumps(a), flush=True)
     if args.ab_device_pcm:
-        b = run_once(args.streams, args.seconds, True, repo)
+        b = run_once(args.streams, args.seconds, True, repo,
+                     depth=args.depth)
         print(json.dumps(b), flush=True)
         if a["avg_step_drain_ms"] and b["avg_step_drain_ms"]:
             print(f"drain A/B: float {a['avg_step_drain_ms']} ms -> "
