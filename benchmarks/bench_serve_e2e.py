@@ -71,7 +71,7 @@ def _client(port, x, results, errors, i):
 
 
 def run_once(streams: int, seconds: float, device_pcm: bool,
-             repo: str, depth: int = 4) -> dict:
+             repo: str, depth: int = 4, latency: str = "normal") -> dict:
     port = _free_port()
     stats_path = f"/tmp/bench_serve_e2e_{port}.json"
     endpoint = f"ipc:///tmp/bench_serve_e2e_{port}.sock"
@@ -80,6 +80,7 @@ def run_once(streams: int, seconds: float, device_pcm: bool,
            "--rate", str(RATE), "--ratio", "16",
            "--filter-dir", os.path.join(repo, "data", "coefficients"),
            "--max-streams", str(streams),
+           "--latency", latency,
            "--max-blocks-per-step", str(depth),
            "--swap-fade", "4096",
            "--control-endpoint", endpoint,
@@ -152,15 +153,19 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=4,
                     help="--max-blocks-per-step (1 gives the most steps "
                          "for a stable drain average)")
+    ap.add_argument("--latency", default="normal",
+                    choices=["normal", "low"],
+                    help="filter bank (low = bundled 8k / ~12 ms)")
     ap.add_argument("--ab-device-pcm", action="store_true")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    a = run_once(args.streams, args.seconds, False, repo, depth=args.depth)
+    a = run_once(args.streams, args.seconds, False, repo, depth=args.depth,
+                 latency=args.latency)
     print(json.dumps(a), flush=True)
     if args.ab_device_pcm:
         b = run_once(args.streams, args.seconds, True, repo,
-                     depth=args.depth)
+                     depth=args.depth, latency=args.latency)
         print(json.dumps(b), flush=True)
         if a["avg_step_drain_ms"] and b["avg_step_drain_ms"]:
             print(f"drain A/B: float {a['avg_step_drain_ms']} ms -> "
