@@ -92,7 +92,8 @@ start_serve() {
     --max-streams "${TOTTON_SERVE_MAX_STREAMS:-64}" \
     --control-endpoint "$ZMQ_ENDPOINT" \
     --config "$CONFIG_PATH" \
-    --stats-path "${TOTTON_SERVE_STATS_PATH:-/tmp/totton_serve_stats.json}" &
+    --stats-path "${TOTTON_SERVE_STATS_PATH:-/tmp/totton_serve_stats.json}" \
+    --recycle-rss-mb "${TOTTON_SERVE_RECYCLE_RSS_MB:-0}" &
   PIDS+=("$!")
 }
 

@@ -280,6 +280,64 @@ def test_cli_smoke(tmp_path, rng):
         proc.wait(timeout=30)
 
 
+def test_cli_recycle_rss_drains_then_exits_3(tmp_path, rng):
+    """--recycle-rss-mb: bounded-memory serving on runtimes that leak
+    host memory below the framework (PERF.md round-5 soak attribution).
+    A 1 MB cap trips on the first poll; the live stream must still be
+    drained to completion (oracle match, no cut) before the process
+    exits with the recycle code 3 for its supervisor."""
+    import json
+    import subprocess
+    import sys
+
+    from totton_tpu.filters.generate import generate_one
+    from totton_tpu.filters.sidecar import load_filter
+
+    coeff = tmp_path / "coeff"
+    coeff.mkdir()
+    generate_one("44k_2x", 2000, 25.0, 140.0, "minimum", str(coeff))
+    port = _free_port()
+    stats = tmp_path / "serve_stats.json"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.serve",
+         "--listen", f"tcp-listen://127.0.0.1:{port}",
+         "--rate", str(RATE), "--ratio", "2",
+         "--filter-dir", str(coeff), "--max-streams", "2",
+         "--stats-path", str(stats),
+         "--recycle-rss-mb", "1", "--recycle-check-s", "2.0",
+         "--duration", "120"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        # Trickle slowly enough that the stream is still live when the
+        # first RSS poll (t+2s) trips the cap — the drain must then wait
+        # for this stream instead of cutting it.
+        x = (rng.normal(size=(2, 6000)) * 0.3).astype(np.float32)
+        deadline = time.monotonic() + 240
+        y = None
+        while time.monotonic() < deadline:
+            try:
+                y, out_rate = _client_roundtrip(port, x, chunk=400,
+                                                stagger_s=0.25)
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert y is not None, "server never came up"
+        assert out_rate == RATE * 2
+        lf = load_filter(next(coeff.glob("*.json")))
+        np.testing.assert_allclose(y, upsample_signal(x, lf),
+                                   rtol=1e-4, atol=1e-5)
+        rc = proc.wait(timeout=60)
+        out = proc.stdout.read()
+        assert rc == 3, out
+        assert "recycling" in out, out
+        j = json.loads(stats.read_text())
+        assert j["streams"]["finished"] == 1, j
+        assert j["rss_mb"] is None or j["rss_mb"] > 1.0, j
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 class TestRobustness:
     """Lifecycle hardening (round-4 review findings): silent/aborting/
     stalled clients must never take down the acceptor, stall other

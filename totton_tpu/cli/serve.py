@@ -16,7 +16,8 @@ min/linear the same way; SOFT_RESET zeroes stream histories; STATS
 merges the serve stats file. The reference needs a container restart for
 any of these.
 
-Exit codes: 0 ok, 1 runtime failure, 2 bad arguments.
+Exit codes: 0 ok, 1 runtime failure, 2 bad arguments, 3 recycled
+(--recycle-rss-mb cap reached; the supervisor should restart).
 """
 
 from __future__ import annotations
@@ -104,6 +105,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "devices of the mesh (row-parallel, no "
                         "collectives; N chips serve ~N x the streams of "
                         "one). 0 = single device")
+    p.add_argument("--recycle-rss-mb", type=int, default=0, metavar="MB",
+                   help="graceful process recycling: when resident memory "
+                        "exceeds MB, stop accepting, drain active streams "
+                        "(bounded), and exit 3 so the supervisor (systemd "
+                        "Restart=, compose restart:) starts a fresh "
+                        "process. Containment for host-side leaks BELOW "
+                        "this framework — the tunneled TPU runtime leaks "
+                        "~0.5 MB/dispatch (PERF.md round-5 soak "
+                        "attribution); 0 = off")
+    p.add_argument("--recycle-check-s", type=float, default=5.0,
+                   metavar="SEC",
+                   help="RSS poll interval for --recycle-rss-mb")
     p.add_argument("--stats-path",
                    help="write aggregate + per-stream stats JSON here")
     p.add_argument("--duration", type=float,
@@ -290,6 +303,40 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Serving on {args.listen}: {args.max_streams} stream slots, "
           f"{args.rate} Hz -> {args.rate * loaded.ratio} Hz "
           f"({loaded.sidecar.taps} taps, {path})", file=sys.stderr)
+
+    recycled = {"hit": False}
+    if args.recycle_rss_mb > 0:
+        # Bounded-memory serving on runtimes that leak host memory per
+        # dispatch BELOW this framework (the tunneled TPU client,
+        # PERF.md round-5 soak attribution: ~0.5 MB/dispatch, gc-immune;
+        # the serving plane itself is RSS-flat on the CPU backend).
+        # Poll RSS; at the cap, drain gracefully and exit 3 so a
+        # supervisor restarts a fresh process — the fleet analog of the
+        # reference's container-restart lifecycle, but on OUR terms:
+        # no accepted stream is cut.
+        import threading
+        import time as _time
+
+        from totton_tpu.serve import process_rss_mb
+
+        def _recycle_monitor():
+            while not server.stopped:
+                _time.sleep(args.recycle_check_s)
+                rss = process_rss_mb()
+                if rss is None:
+                    return  # no /proc: feature inert
+                if rss >= args.recycle_rss_mb:
+                    recycled["hit"] = True
+                    print(f"RSS {rss:.0f} MB >= --recycle-rss-mb "
+                          f"{args.recycle_rss_mb}: recycling "
+                          "(drain, then exit 3)", file=sys.stderr)
+                    server.drain(timeout_s=30.0)
+                    server.request_stop()
+                    return
+
+        threading.Thread(target=_recycle_monitor, daemon=True,
+                         name="totton-serve-recycle").start()
+
     server.wait(args.duration)
     server.stop()
     if daemon is not None:
@@ -307,6 +354,9 @@ def main(argv: list[str] | None = None) -> int:
         print("error: serving stopped on persistent dispatcher failure",
               file=sys.stderr)
         return 1
+    if recycled["hit"]:
+        print("Serving recycled (RSS cap)", file=sys.stderr)
+        return 3
     print("Serving stopped", file=sys.stderr)
     return 0
 

@@ -89,6 +89,23 @@ log = logging.getLogger("totton.serve")
 MAX_EQ_BLOCK_BYTES = 65536
 
 
+def process_rss_mb() -> float | None:
+    """This process's resident set size in MB (None where /proc is
+    unavailable). Operator signal for bounded-memory serving: the
+    tunneled TPU runtime leaks ~0.5 MB of host memory per dispatch
+    BELOW this framework (PERF.md round-5 soak attribution), so
+    long-lived servers on that runtime watch RSS and recycle
+    (totton-serve --recycle-rss-mb)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) / 1024.0
+    except OSError:
+        return None
+    return None
+
+
 def _profile_to_sos(profile, sample_rate: float):
     """APO profile -> (scipy sos array or None, linear preamp gain).
 
@@ -279,9 +296,11 @@ class ServeStats:
         self.start = time.monotonic()
 
     def to_json(self, active: int, per_stream: list[dict]) -> dict:
+        rss = process_rss_mb()
         with self.lock:
             return {
                 "uptime_ms": int((time.monotonic() - self.start) * 1000),
+                "rss_mb": round(rss, 1) if rss is not None else None,
                 "streams": {"active": active, "accepted": self.accepted,
                             "rejected": self.rejected,
                             "finished": self.finished},
@@ -751,6 +770,11 @@ class StreamServer:
         with self._swap_lock:
             self._pending_reset = True
         self._kick.set()
+
+    @property
+    def stopped(self) -> bool:
+        """True once the server has been asked to stop (or has failed)."""
+        return self._stop.is_set()
 
     def request_stop(self) -> None:
         """Unblock wait() and stop serving (SHUTDOWN path)."""
