@@ -1244,11 +1244,20 @@ class TestInputBound:
             assert backlog <= slot.max_input_samples + chunk_frames + 1, (
                 backlog, slot.max_input_samples)
             assert slot.stats.input_throttles >= 1
-            # frames_in has stopped advancing (reader parked, not
-            # spinning through the flood).
+            # frames_in reaches a fixed point (reader parked, not
+            # spinning through the flood). Dispatch legitimately keeps
+            # consuming backlog until the never-read OUTPUT queue
+            # saturates, waking the reader a few more times — poll for
+            # quiescence instead of demanding it instantly.
             f0 = slot.stats.frames_in
-            time.sleep(0.6)
-            assert slot.stats.frames_in == f0
+            deadline = time.monotonic() + 15
+            while time.monotonic() < deadline:
+                time.sleep(0.6)
+                f1 = slot.stats.frames_in
+                if f1 == f0:
+                    break
+                f0 = f1
+            assert slot.stats.frames_in == f0, "reader never parked"
 
             # A healthy concurrent stream flows normally throughout.
             x = (rng.normal(size=(2, 3000)) * 0.3).astype(np.float32)
