@@ -50,6 +50,7 @@ async def test_serving_card_renders_both_locales(client):
     text_en = await (await client.get("/")).text()
     assert "Serving plane" in text_en
     assert "serve-streams-table" in text_en
+    assert "sv-rss" in text_en  # bounded-memory operator signal
     for key in ("serve.none", "serve.col.latency", "serve.col.backlog"):
         assert key in text_en, f"JS catalog missing {key}"
     text_ja = await (await client.get("/?lang=ja")).text()

@@ -45,6 +45,7 @@ _EN = {
     "serve.steps": "Engine steps",
     "serve.frames_out": "Frames out",
     "serve.swaps": "Live swaps",
+    "serve.rss": "Server RSS (MB)",
     "serve.col.slot": "Slot",
     "serve.col.frames": "Frames in / out",
     "serve.col.backlog": "Backlog in / out",
@@ -155,6 +156,7 @@ _JA = {
     "serve.steps": "エンジンステップ数",
     "serve.frames_out": "出力フレーム数",
     "serve.swaps": "ライブスワップ数",
+    "serve.rss": "サーバー常駐メモリ (MB)",
     "serve.col.slot": "スロット",
     "serve.col.frames": "フレーム 入力 / 出力",
     "serve.col.backlog": "バックログ 入力 / 出力",
