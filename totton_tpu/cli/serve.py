@@ -117,6 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--recycle-check-s", type=float, default=5.0,
                    metavar="SEC",
                    help="RSS poll interval for --recycle-rss-mb")
+    p.add_argument("--recycle-drain-s", type=float, default=300.0,
+                   metavar="SEC",
+                   help="how long a recycle waits for active streams to "
+                        "finish before cutting them (size it to your "
+                        "longest stream; live listeners never finish, so "
+                        "this is also their cut deadline)")
     p.add_argument("--stats-path",
                    help="write aggregate + per-stream stats JSON here")
     p.add_argument("--duration", type=float,
@@ -330,7 +336,10 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"RSS {rss:.0f} MB >= --recycle-rss-mb "
                           f"{args.recycle_rss_mb}: recycling "
                           "(drain, then exit 3)", file=sys.stderr)
-                    server.drain(timeout_s=30.0)
+                    if not server.drain(timeout_s=args.recycle_drain_s):
+                        print(f"recycle drain timed out after "
+                              f"{args.recycle_drain_s:.0f}s; cutting "
+                              "remaining streams", file=sys.stderr)
                     server.request_stop()
                     return
 

@@ -66,7 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--connect-window", type=float, default=10.0,
                    metavar="SEC",
                    help="connect retry window (the server may still be "
-                        "compiling its warmup shapes)")
+                        "binding)")
+    p.add_argument("--timeout", type=float, default=120.0, metavar="SEC",
+                   help="socket timeout, including the wait for the "
+                        "server's reply header — a COLD server may spend "
+                        "minutes compiling its warmup shapes before "
+                        "accepting, with connections queued at the "
+                        "listener meanwhile; raise this to wait it out")
     p.add_argument("--dither", action="store_true",
                    help="TPDF dither on output quantization")
     return p
@@ -115,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         client = ServeClient(args.server, channels, rate, fmt=wire_fmt,
-                             eq_text=eq_text,
+                             eq_text=eq_text, timeout_s=args.timeout,
                              connect_window_s=args.connect_window)
     except (OSError, ValueError) as e:
         print(f"error: cannot open stream on {args.server}: {e}",
