@@ -27,8 +27,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from totton_tpu.io.pcm import PcmFormat, float_to_pcm, interleave
-from totton_tpu.io.sockets import HEADER_BYTES, pack_header
+from totton_tpu.io.pcm import PcmFormat
+from totton_tpu.io.serve_client import ServeClient
 
 RATE = 44100
 
@@ -41,31 +41,11 @@ def _free_port() -> int:
 
 def _client(port, x, results, errors, i):
     try:
-        s = socket.create_connection(("127.0.0.1", port), timeout=600)
-        s.settimeout(600)
-        s.sendall(pack_header(PcmFormat.S16_LE, 2, RATE))
-        hdr = b""
-        while len(hdr) < HEADER_BYTES:
-            hdr += s.recv(HEADER_BYTES - len(hdr))
-        raw = float_to_pcm(interleave(x), PcmFormat.S16_LE)
-        received = bytearray()
-
-        def pump():
-            step = 32768
-            for j in range(0, len(raw), step):
-                s.sendall(raw[j:j + step])
-            s.shutdown(socket.SHUT_WR)
-
-        t = threading.Thread(target=pump)
-        t.start()
-        while True:
-            got = s.recv(65536)
-            if not got:
-                break
-            received += got
-        t.join(timeout=600)
-        s.close()
-        results[i] = len(received) // 4  # s16 stereo frames
+        with ServeClient(f"tcp://127.0.0.1:{port}", 2, RATE,
+                         fmt=PcmFormat.S16_LE, timeout_s=600,
+                         connect_window_s=600) as c:
+            y = c.upsample(x, chunk_frames=8192)
+        results[i] = y.shape[1]
     except Exception as e:  # noqa: BLE001
         errors.append((i, e))
 
