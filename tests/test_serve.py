@@ -338,6 +338,81 @@ def test_cli_recycle_rss_drains_then_exits_3(tmp_path, rng):
         proc.wait(timeout=30)
 
 
+def test_cli_recycle_drain_timeout_cuts_live_listener(tmp_path, rng):
+    """A live listener never half-closes, so a recycle's drain cannot
+    finish; after --recycle-drain-s the server must cut it (logged),
+    still exit 3, and not hang."""
+    import subprocess
+    import sys
+
+    from totton_tpu.filters.generate import generate_one
+
+    coeff = tmp_path / "coeff"
+    coeff.mkdir()
+    generate_one("44k_2x", 2000, 25.0, 140.0, "minimum", str(coeff))
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "totton_tpu.cli.serve",
+         "--listen", f"tcp-listen://127.0.0.1:{port}",
+         "--rate", str(RATE), "--ratio", "2",
+         "--filter-dir", str(coeff), "--max-streams", "2",
+         "--recycle-rss-mb", "1", "--recycle-check-s", "2.0",
+         "--recycle-drain-s", "1.5", "--duration", "120"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    s = None
+    try:
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            try:
+                s = socket.create_connection(("127.0.0.1", port),
+                                             timeout=5)
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert s is not None, "server never came up"
+        from totton_tpu.io.sockets import pack_header
+
+        s.settimeout(60)
+        s.sendall(pack_header(None, 2, RATE))
+        # Keep the stream live (trickle, never half-close, read output)
+        # until the server cuts it.
+        x = (rng.normal(size=(2, 400)) * 0.3).astype(np.float32)
+        raw = interleave(x).astype("<f4").tobytes()
+        s.setblocking(False)
+        deadline = time.monotonic() + 60
+        cut = False
+        while time.monotonic() < deadline:
+            try:
+                s.sendall(raw)
+            except (BrokenPipeError, ConnectionResetError, OSError) as e:
+                if getattr(e, "errno", None) in (socket.EAGAIN, 11, 115):
+                    pass
+                else:
+                    cut = True
+                    break
+            try:
+                while s.recv(65536):
+                    pass
+                cut = True  # orderly EOF from the server
+                break
+            except (BlockingIOError, socket.timeout):
+                pass
+            except OSError:
+                cut = True
+                break
+            time.sleep(0.05)
+        assert cut, "server never cut the live listener"
+        rc = proc.wait(timeout=60)
+        out = proc.stdout.read()
+        assert rc == 3, out
+        assert "cutting remaining streams" in out, out
+    finally:
+        if s is not None:
+            s.close()
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 class TestRobustness:
     """Lifecycle hardening (round-4 review findings): silent/aborting/
     stalled clients must never take down the acceptor, stall other
